@@ -1,0 +1,1012 @@
+"""Driver-facing query catalog: Spark implementations + DuckDB oracle SQL.
+
+Each entry exposes one operator family from SURVEY.md §2 (relational
+shell of the extraction pipeline) or one large-scale training-data
+pipeline operation (dedup / similarity / text analysis / multimodal),
+implemented Spark-first and cross-checked against an ANSI-SQL twin run
+by DuckDB on the same parquet tables.
+
+Scale notes appear per query: every implementation is chosen for the
+plan it produces at 100 TB (broadcast small dims, partial aggregation,
+single-shuffle groupBys, no driver-side loops), not just for sf0.01
+correctness.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import DoubleType
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _register_views(spark: SparkSession, sf_dir: str, names=_TABLES) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Relational shell (Catalyst built-ins the extraction pipeline is made of)
+# ---------------------------------------------------------------------------
+
+def q_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 scan + predicate pushdown + column pruning (SURVEY §2 S1).
+
+    Scale: filter and 3-column projection reach the parquet reader
+    (PushedFilters / ReadSchema) — at 100 TB this is the difference
+    between reading 3 columns of some row groups and the whole table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_SCAN_PRUNE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_filter_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4/D5 two-stage gating as relational filters.
+
+    Mirrors the detector's filter ordering (area gate before score gate,
+    dbnet_detector.py:146-155): cheap predicate first, then the derived
+    score. Catalyst collapses both into one scan-level filter.
+    """
+    d = _t(spark, sf_dir, "documents")
+    scored = d.where(F.col("n_chars") >= 38).withColumn(  # D4: MIN_AREA
+        "score", F.round(F.length("text") / (F.col("n_chars") + F.lit(1.0)), 6)
+    )
+    return scored.where(F.col("score") > 0.52).select(  # D5: BOX_THRESH
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+    )
+
+
+ORACLE_FILTER_GATES = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(CAST(length(text) AS DOUBLE) / (n_chars + 1.0), 6) AS score
+FROM documents
+WHERE n_chars >= 38
+  AND round(CAST(length(text) AS DOUBLE) / (n_chars + 1.0), 6) > 0.52
+"""
+
+
+def q_dispatch_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 payload-kind dispatch as a CASE branch + count per class
+    (pipeline.py:272-288 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("text").startswith("{"), F.lit("pdf_text"))
+        .when(F.col("text").contains("<"), F.lit("html"))
+        .when(F.col("text").contains("```"), F.lit("markup"))
+        .otherwise(F.lit("plain"))
+    )
+    return d.groupBy(kind.alias("kind")).agg(F.count("*").alias("n_docs"))
+
+
+ORACLE_DISPATCH_CASE = """
+SELECT CASE WHEN text LIKE '{%' THEN 'pdf_text'
+            WHEN contains(text, '<') THEN 'html'
+            WHEN contains(text, '```') THEN 'markup'
+            ELSE 'plain' END AS kind,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S6 flatten: tokenize + explode + aggregate (the page-explode /
+    span-tree-walk analog).
+
+    Scale: explode is map-side; the single shuffle is the groupBy with
+    partial aggregation (map-side combine) — token counting at 100 TB is
+    exactly this plan.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 100)
+    )
+
+
+ORACLE_EXPLODE_TOKENS = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+HAVING count(*) >= 100
+"""
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 reading-order sort as a window: stable per-key ordering
+    (pipeline.py:76 / Window.partitionBy(conv_id).orderBy(turn_idx))."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+ORACLE_READING_ORDER = """
+SELECT user_id, event_id, CAST(rn AS INT) AS rn
+FROM (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
+def q_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 ordered text assembly: per-key sort + '\\n'-join
+    (__init__.py:93-101 analog) via collect_list + array_sort.
+
+    Scale: one shuffle on the group key; the sort is within-group
+    (array_sort on the collected structs), never a global sort.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(F.transform("evs", lambda s: s["event_type"]), "\n").alias(
+                "assembled"
+            ),
+        )
+    )
+
+
+ORACLE_TEXT_ASSEMBLY = """
+SELECT user_id,
+       string_agg(event_type, chr(10) ORDER BY ts, event_id) AS assembled
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 join analog: fact ⋈ dim with an explicit broadcast hint.
+
+    Scale: customer is the small side — broadcasting it removes the
+    shuffle of the orders fact entirely (the 100 TB-critical choice).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+ORACLE_JOIN_BROADCAST = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join chain (TPC-H Q5 shape): fact joined through broadcast
+    dims region→nation→customer, revenue per nation.
+
+    Scale: all three dims broadcast; the only shuffle left is the final
+    aggregation — Catalyst + AQE keep the fact table pipeline-local.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+
+
+ORACLE_MULTI_JOIN = """
+SELECT n_name, r_name, round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: the canonical partial-agg plan
+    (map-side combine before the single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_GROUPBY_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 order restore: global top-N by key with deterministic
+    tie-break (pipeline.py:167-188 index-placement analog).
+
+    Scale: TakeOrderedAndProject — per-partition top-N then a single
+    driver merge of N×P rows; never a full sort.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total"))
+        .limit(10)
+    )
+
+
+ORACLE_ORDER_RESTORE = """
+SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 4) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (row_number ≤ k) — the per-conversation
+    'first k turns' pattern."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, CAST(rk AS INT) AS rk
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-ish sessionization via lag + cumulative sum windows:
+    a 30-minute inactivity gap starts a new session."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = e.withColumn("new_sess", F.coalesce(gap, F.lit(0))).withColumn(
+        "sess_id", F.sum("new_sess").over(w)
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("sess_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id,
+       CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep min doc_id.
+
+    Scale: md5 is computed map-side; the shuffle key is the digest so
+    the group fan-in is tiny regardless of corpus size.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-word-shingle Jaccard over candidate pairs.
+
+    Candidates = pairs sharing ≥1 shingle (the blocking join); Jaccard
+    computed from per-doc distinct-shingle counts + shared counts.
+    Pairs with J ≥ 0.5 are near-dups.
+
+    Scale: never materializes the O(n²) pair space — only pairs that
+    collide on a shingle; hot shingles (stopword runs) would need a
+    document-frequency cap, which `sh_freq <= 100` applies.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("l") >= 3, F.sequence(F.lit(1), F.size("l") - 2)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "l",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("l", F.col("i")),
+                F.element_at("l", F.col("i") + 1),
+                F.element_at("l", F.col("i") + 2),
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sh = sh.withColumn("sh_freq", F.count("*").over(Window.partitionBy("sh"))).where(
+        F.col("sh_freq") <= 100
+    ).drop("sh_freq")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id,
+         list_extract(l, i) || ' ' || list_extract(l, i+1) || ' ' || list_extract(l, i+2) AS sh
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+        FROM toks WHERE len(l) >= 3)),
+sh AS (SELECT doc_id, sh FROM (
+         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS sh_freq FROM sh_all)
+       WHERE sh_freq <= 100),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5
+"""
+
+
+_MINHASH_SEEDS = 8
+_MINHASH_BAND_ROWS = 2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → minhash signature → band buckets
+    → candidate pairs.
+
+    MinHash h_k(doc) = min over shingles of md5(k || ':' || shingle)
+    (lexicographic min over hex digests — deterministic, portable).
+    8 hashes, 4 bands of 2 rows; pairs colliding on any band are
+    candidates.
+
+    Scale: the LSH path is THE 100 TB dedup design — candidate
+    generation is a groupBy on (band, band_key), never a pairwise join;
+    output is linear in the number of true near-dup pairs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("l") >= 3, F.sequence(F.lit(1), F.size("l") - 2)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "l",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("l", F.col("i")),
+                F.element_at("l", F.col("i") + 1),
+                F.element_at("l", F.col("i") + 2),
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    seeds = spark.range(_MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("sh")))).alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("seed") / _MINHASH_BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("rows"))
+        .select(
+            "doc_id",
+            "band",
+            F.array_join(F.transform("rows", lambda r: r["mh"]), "|").alias("band_key"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_extract(l, i) || ' ' || list_extract(l, i+1) || ' ' || list_extract(l, i+2) AS sh
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+        FROM toks WHERE len(l) >= 3)),
+seeds AS (SELECT unnest(generate_series(0, {_MINHASH_SEEDS - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // {_MINHASH_BAND_ROWS} AS INT) AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_key
+  FROM sig
+  GROUP BY doc_id, CAST(seed // {_MINHASH_BAND_ROWS} AS INT))
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql(dialect: str) -> str:
+    """Shared 16-bit SimHash template, rendered per dialect.
+
+    Per token: first 4 hex chars of md5 → 16 bits; per bit, +1/-1 vote;
+    sign of the vote sum is the fingerprint bit.  Integer arithmetic
+    only (floor/div/mod), so Spark SQL and DuckDB agree bit-for-bit.
+    """
+    if dialect == "spark":
+        tok_src = (
+            "SELECT doc_id, tok FROM "
+            "(SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> ''"
+        )
+        floordiv = lambda a, b: f"CAST(floor({a} / {b}) AS INT)"
+    else:
+        tok_src = (
+            "SELECT doc_id, tok FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> ''"
+        )
+        floordiv = lambda a, b: f"CAST(floor({a} / {b}) AS INT)"
+    # hex value of char j (1-based) of the md5 digest
+    hexval = lambda j: f"(instr('0123456789abcdef', substr(md5(tok), {j}, 1)) - 1)"
+    bit_votes = []
+    for b in range(16):
+        j = b // 4 + 1          # which hex char
+        p = 2 ** (3 - b % 4)    # which bit within the char
+        bit = f"({floordiv(hexval(j), p)} % 2)"
+        bit_votes.append(
+            f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    votes = ",\n         ".join(bit_votes)
+    fingerprint = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH toks AS ({tok_src}),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks
+  GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({fingerprint} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprinting (16-bit) — near-dup docs land on nearby
+    fingerprints; candidate pairs = equal fingerprints (Hamming-0 here;
+    banded Hamming-k at scale).
+
+    Scale: one pass + one groupBy per doc; fingerprint comparison is an
+    equi-join on the fingerprint, shuffle-light.
+    """
+    _register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_simhash_sql("spark"))
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (ANN baseline).
+
+    The query vector is a single-row lookup (vec_id = 0) pushed into the
+    plan as a literal array — a broadcast of one row, not a driver loop.
+    dot/norms via zip_with + aggregate in DOUBLE; deterministic
+    tie-break on vec_id.
+
+    Scale: embarrassingly parallel scan + TakeOrdered; the IVF variant
+    (q_ann_ivf_assign) is the pruned path.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            qlit,
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    norm_q = float(sum(v * v for v in qvec) ** 0.5)
+    sim = F.round(dot / (norm_e * F.lit(norm_q)), 6)
+    return (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT sum(a * b) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) a,
+                                           unnest(CAST(q.qe AS DOUBLE[])) b))
+           / (sqrt((SELECT sum(a * a) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) a)))
+              * sqrt((SELECT sum(b * b) FROM (SELECT unnest(CAST(q.qe AS DOUBLE[])) b)))),
+           6) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim
+FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+_IVF_K = 8
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketing: assign every vector to its nearest of K
+    fixed centroids (here: the first K vectors) — the coarse quantizer
+    of an IVF ANN index.
+
+    Scale: centroids broadcast (K rows); assignment is a map-side
+    cross-product of each row with K literals — no shuffle at all until
+    the bucket histogram.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cvec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", dist.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+ORACLE_ANN_IVF_ASSIGN = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < {_IVF_K}),
+dists AS (
+  SELECT e.vec_id, c.centroid_id,
+         (SELECT sum((a - b) * (a - b))
+          FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) a, unnest(c.cvec) b)) AS d2
+  FROM embeddings e CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+  FROM dists)
+SELECT vec_id, centroid_id FROM ranked WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis for training-data curation
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "frequent": [" data ", " table ", " query "],
+}
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (marker n-gram counts) + quality scoring
+    (token/char ratios) in one pass — the curation-filter pattern.
+
+    Occurrence counting via length-difference arithmetic so Spark and
+    ANSI SQL agree exactly; all floats rounded to 6.
+    """
+    d = _t(spark, sf_dir, "documents")
+
+    def occurrences(col, marker):
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+            / len(marker)
+        ).cast("bigint")
+
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en_score = sum(occurrences(padded, m) for m in _LANG_MARKERS["en"])
+    n_tokens = F.size(F.split("text", " "))
+    avg_tok_len = F.round(F.length("text") / n_tokens, 6)
+    return d.select(
+        "doc_id",
+        en_score.alias("en_markers"),
+        F.when(en_score > 0, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        avg_tok_len.alias("avg_tok_len"),
+        F.round(n_tokens / (F.col("n_chars") + F.lit(1.0)), 6).alias("token_ratio"),
+    )
+
+
+ORACLE_LANG_QUALITY = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(((length(p) - length(replace(p, ' the ', ''))) / 5
+           + (length(p) - length(replace(p, ' and ', ''))) / 5
+           + (length(p) - length(replace(p, ' of ', ''))) / 4) AS BIGINT) AS en_markers,
+       CASE WHEN ((length(p) - length(replace(p, ' the ', ''))) / 5
+                + (length(p) - length(replace(p, ' and ', ''))) / 5
+                + (length(p) - length(replace(p, ' of ', ''))) / 4) > 0
+            THEN 'en' ELSE 'unk' END AS lang_pred,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
+       round(CAST(len(string_split(text, ' ')) AS DOUBLE) / (n_chars + 1.0), 6) AS token_ratio
+FROM (SELECT doc_id, text, n_chars, ' ' || text || ' ' AS p FROM documents)
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (chars/4, the standard heuristic) per doc and corpus-wide."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("bigint")
+    bpe_est = F.ceil(F.length("text") / 4).cast("bigint")
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        bpe_est.alias("n_bpe_est"),
+        F.greatest(words, bpe_est).alias("n_tokens_budget"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+       CAST(greatest(len(string_split(text, ' ')), CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens_budget
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: winnowing-style — the minimum digest
+    over all 8-char rolling windows (rolling-hash analog, portable via
+    md5 over substrings)."""
+    d = _t(spark, sf_dir, "documents")
+    windows = F.explode(
+        F.when(
+            F.length("text") >= 8,
+            F.sequence(F.lit(1), F.length("text") - 7),
+        ).otherwise(F.array(F.lit(1)))
+    )
+    return (
+        d.select("doc_id", "text", windows.alias("i"))
+        .select("doc_id", F.md5(F.substring(F.col("text"), F.col("i"), 8)).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, min(md5(substr(text, i, 8))) AS fingerprint
+FROM (SELECT doc_id, text,
+             unnest(CASE WHEN length(text) >= 8
+                         THEN generate_series(1, length(text) - 7)
+                         ELSE [1] END) AS i
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline entries (the flagship; real UDF path)
+# ---------------------------------------------------------------------------
+
+def q_extract_plain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL extraction UDF run over the documents table (payloads are
+    plain text, so the extracted text is SQL-expressible: trimmed
+    content lines) — cross-checks the mapInPandas path itself against
+    the DuckDB oracle."""
+    from .job import extract_detailed
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    ext = extract_detailed(d)
+    return ext.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "method",
+        F.col("text").alias("extracted"),
+    )
+
+
+ORACLE_EXTRACT_PLAIN_DOCS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'plain' AS method,
+       trim(text) AS extracted
+FROM documents
+"""
+
+
+def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: synthesize transcript payloads from the documents table
+    (deterministic wrapping by doc_id), run the full extraction pipeline
+    with salting + lineage, return per-turn rows.
+
+    Not SQL-expressible (HTML/pdf parsing) — driver records the
+    rows-only check; pytest golden fixtures carry the equality gate.
+    """
+    from .job import extract_detailed
+
+    d = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('{"blocks": [{"type": 0, "lines": [{"bbox": [72, 100, 540, 112], '
+                      '"spans": [{"text": "'),
+                F.col("text"),
+                F.lit('"}]}]}]}'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("preamble\n```\n"), F.col("text"), F.lit("\n```")),
+        )
+        .otherwise(F.col("text"))
+    )
+    t = d.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") / 10).cast("bigint")).alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        payload.alias("text"),
+    )
+    return extract_detailed(t, num_partitions=32, salt_buckets=4, src_snapshot_id=1).select(
+        "conv_id", "turn_idx", "method", F.col("text").alias("extracted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + stubbed decode via mapInPandas)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: treat content as an opaque binary
+    column, run a mapInPandas 'decode' over Arrow batches producing
+    typed metadata.  The decode itself is a deterministic stand-in
+    (real image/audio libs absent — see functions/multimodal.py), but
+    the schema, batching, and UDF signature are the real thing.
+    """
+    from .functions.multimodal import decode_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_meta(d)
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) % 640 AS INT) AS width,
+       CAST(length(text) % 480 AS INT) AS height,
+       CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_prune": q_scan_prune,
+    "filter_gates": q_filter_gates,
+    "dispatch_case": q_dispatch_case,
+    "explode_tokens": q_explode_tokens,
+    "reading_order": q_reading_order,
+    "text_assembly": q_text_assembly,
+    "join_broadcast": q_join_broadcast,
+    "multi_join": q_multi_join,
+    "groupby_agg": q_groupby_agg,
+    "order_restore": q_order_restore,
+    "topk_per_group": q_topk_per_group,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "cosine_topk": q_cosine_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "lang_quality": q_lang_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "extract_plain_docs": q_extract_plain_docs,
+    "extract_transcripts": q_extract_transcripts,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES: Dict[str, str] = {
+    "scan_prune": ORACLE_SCAN_PRUNE,
+    "filter_gates": ORACLE_FILTER_GATES,
+    "dispatch_case": ORACLE_DISPATCH_CASE,
+    "explode_tokens": ORACLE_EXPLODE_TOKENS,
+    "reading_order": ORACLE_READING_ORDER,
+    "text_assembly": ORACLE_TEXT_ASSEMBLY,
+    "join_broadcast": ORACLE_JOIN_BROADCAST,
+    "multi_join": ORACLE_MULTI_JOIN,
+    "groupby_agg": ORACLE_GROUPBY_AGG,
+    "order_restore": ORACLE_ORDER_RESTORE,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "sessionize": ORACLE_SESSIONIZE,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "ann_ivf_assign": ORACLE_ANN_IVF_ASSIGN,
+    "lang_quality": ORACLE_LANG_QUALITY,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "extract_plain_docs": ORACLE_EXTRACT_PLAIN_DOCS,
+    # extract_transcripts: non-SQL-expressible (HTML/pdf UDF parse) — rows-only
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+}

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>,
+     "extraction_turns_per_sec": <float>}
+
+Each query executes end-to-end into a `noop` sink so the timing covers
+scan -> shuffle -> sink without collect() serialization skew.  The
+flagship extraction query additionally reports turns/sec (the north
+metric's unit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+# Every catalog entry is a headline query; order puts cheap scans first
+# (JVM warm-up) and the heavy shuffle/join families after.
+HEADLINE = [
+    "scan_prune",
+    "filter_gates",
+    "dispatch_case",
+    "reading_order",
+    "order_restore",
+    "topk_per_group",
+    "join_broadcast",
+    "multi_join",
+    "groupby_agg",
+    "explode_tokens",
+    "text_assembly",
+    "sessionize",
+    "lang_quality",
+    "token_count",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "cosine_topk",
+    "ann_ivf_assign",
+    "multimodal_meta",
+    "extract_plain_docs",
+    "extract_transcripts",
+]
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    from occular_ocr_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    extraction_rows = 0
+    extraction_sec = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name == "extract_transcripts":
+            extraction_rows = df.count()
+            dt = time.perf_counter() - t0
+            extraction_sec = dt
+        else:
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline catalog wall time (24 queries, noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if extraction_sec > 0:
+        out["extraction_turns_per_sec"] = round(extraction_rows / extraction_sec, 1)
+        out["extraction_rows"] = extraction_rows
+    return out
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("occular-ocr-spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        out = run_bench(spark, sf_dir)
+    finally:
+        spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,16 +47,21 @@ HEADLINE = [
     "text_assembly",
     "sessionize",
     "lang_quality",
+    "quality_score",
     "token_count",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
     "cosine_topk",
     "ann_ivf_assign",
+    "ann_ivf_search",
+    "ann_lsh_buckets",
     "multimodal_meta",
     "extract_plain_docs",
+    "assemble_conversations",
     "extract_transcripts",
 ]
 
@@ -81,7 +86,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         timings[name] = round(dt, 3)
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline catalog wall time (24 queries, noop sink)",
+        "metric": f"headline catalog wall time ({len(HEADLINE)} queries, noop sink)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -199,6 +199,80 @@ def transcripts_pandas(n_convs: int = 100, turns_per_conv_mean: int = 8,
     return df
 
 
+def _gen_conversation(conv_i: int, turns_per_conv_mean: int, zipf_s: float,
+                      seed: int, skew_cap: int) -> List[Dict]:
+    """Generate one conversation's turns, seeded by (seed, conv_i) only.
+
+    Per-conversation seeding makes the output deterministic regardless of
+    how conversations are sharded across tasks — the property that lets
+    the *distributed* generator below produce the same corpus at any
+    parallelism level (generation itself scales like the extraction job).
+    ``skew_cap`` bounds the mega-conversation size so turn counts don't
+    grow linearly with corpus size (conv 0 ≈ mean * skew_cap / 2 turns).
+    """
+    rng = random.Random((seed << 32) ^ (conv_i * 2654435761 & 0xFFFFFFFF))
+    zipf_w = 1.0 / (conv_i + 1) ** zipf_s
+    n_turns = max(1, int(turns_per_conv_mean * (1 + zipf_w * skew_cap * 0.5)))
+    conv_id = f"conv-{conv_i:08d}"
+    t0 = _BASE_TS + _dt.timedelta(minutes=conv_i * 7)
+    rows: List[Dict] = []
+    for t in range(n_turns):
+        role = _ROLES[t % 3]
+        kind, gen = _pick_kind(rng)
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": gen(rng),
+                "tool": rng.choice(_TOOLS) if role == "tool" else None,
+                "ts": t0 + _dt.timedelta(seconds=t * 13),
+            }
+        )
+    return rows
+
+
+def transcripts_spark(
+    spark,
+    n_convs: int,
+    turns_per_conv_mean: int = 8,
+    zipf_s: float = 1.3,
+    seed: int = 42,
+    skew_cap: int = 2000,
+    num_partitions: int = 64,
+):
+    """Distributed fixture generator: Spark generates the corpus itself.
+
+    ``spark.range(n_convs)`` fans conversation ids over the cluster; each
+    task synthesizes its conversations inside ``mapInPandas`` with the
+    per-conversation RNG above.  This is how a 10^12-turn test corpus
+    would actually be materialized — the driver never holds a row.
+    """
+    import pandas as pd
+
+    mean, s, sd, cap = turns_per_conv_mean, zipf_s, seed, min(n_convs, skew_cap)
+
+    def gen(batches):
+        for pdf in batches:
+            rows: List[Dict] = []
+            for conv_i in pdf["id"]:
+                rows.extend(_gen_conversation(int(conv_i), mean, s, sd, cap))
+            out = pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            out["ts"] = pd.to_datetime(out["ts"])
+            yield out
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    return spark.range(0, n_convs, numPartitions=num_partitions).mapInPandas(
+        gen, schema=schema
+    )
+
+
 def write_transcripts_parquet(path: str, n_convs: int = 100,
                               turns_per_conv_mean: int = 8,
                               zipf_s: float = 1.3, seed: int = 42) -> str:

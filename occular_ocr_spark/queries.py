@@ -743,6 +743,227 @@ SELECT vec_id, centroid_id FROM ranked WHERE rk = 1
 """
 
 
+def _dot(a, b):
+    """Sequential double-precision dot product of two array columns.
+
+    zip_with + aggregate keeps summation order identical to the DuckDB
+    oracle's ordered unnest-sum, so both engines see bit-identical
+    doubles before the final round().
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _l2norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+_COS_DUP_THRESH = 0.4
+
+
+def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest of the K fixed centroids."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cvec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            "centroid_id",
+            d2.alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "emb", "centroid_id")
+    )
+
+
+_IVF_ASSIGN_SQL = f"""
+cents AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < {_IVF_K}),
+dists AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.centroid_id,
+         (SELECT sum((a - b) * (a - b))
+          FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) a, unnest(c.cvec) b)) AS d2
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, emb, centroid_id FROM (
+    SELECT vec_id, emb, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+    FROM dists)
+  WHERE rk = 1)
+"""
+
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-blocked.
+
+    Blocking = the IVF coarse quantizer: only pairs assigned to the SAME
+    centroid are compared (never the O(n²) pair space), then cosine ≥
+    threshold keeps true near-dups.  Missing cross-bucket pairs is the
+    documented recall trade-off of blocked dedup; multi-probe raises it.
+
+    Scale: candidate volume is Σ_bucket |bucket|²; with balanced buckets
+    that's n²/K — the standard semantic-dedup design (e.g. SemDeDup) at
+    corpus scale, with K sized so buckets fit an executor.
+    """
+    asg = _ivf_assignment(spark, sf_dir)
+    a = asg.alias("a")
+    b = asg.alias("b")
+    cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb"))
+        / (_l2norm(F.col("a.emb")) * _l2norm(F.col("b.emb"))),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.centroid_id").alias("centroid_id"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= _COS_DUP_THRESH)
+    )
+
+
+ORACLE_DEDUP_EMBED_COSINE = f"""
+WITH {_IVF_ASSIGN_SQL},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
+         round(
+           (SELECT sum(x * y) FROM (SELECT unnest(a.emb) x, unnest(b.emb) y))
+           / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(a.emb) x)))
+              * sqrt((SELECT sum(y * y) FROM (SELECT unnest(b.emb) y)))), 6) AS cos_sim
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, centroid_id, cos_sim
+FROM pairs WHERE cos_sim >= {_COS_DUP_THRESH}
+"""
+
+
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN search: the scale path of cosine_topk.
+
+    Query = vec 0; probe its nearest centroid's inverted list only, then
+    exact cosine top-5 within that bucket.  At 100 TB the probed bucket
+    is ~1/K of the corpus — the scan cost drops by K while recall is
+    bounded by the quantizer (raise nprobe for more).
+    """
+    asg = _ivf_assignment(spark, sf_dir)
+    qrow = asg.where(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in qrow["emb"]]
+    probe = int(qrow["centroid_id"])
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    norm_q = float(sum(v * v for v in qvec) ** 0.5)
+    sim = F.round(_dot(F.col("emb"), qlit) / (_l2norm(F.col("emb")) * F.lit(norm_q)), 6)
+    return (
+        asg.where((F.col("centroid_id") == probe) & (F.col("vec_id") != 0))
+        .select("vec_id", "centroid_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+ORACLE_ANN_IVF_SEARCH = f"""
+WITH {_IVF_ASSIGN_SQL},
+q AS (SELECT emb AS qe, centroid_id AS probe FROM assign WHERE vec_id = 0),
+scored AS (
+  SELECT a.vec_id, a.centroid_id,
+         round(
+           (SELECT sum(x * y) FROM (SELECT unnest(a.emb) x, unnest(q.qe) y))
+           / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(a.emb) x)))
+              * sqrt((SELECT sum(y * y) FROM (SELECT unnest(q.qe) y)))), 6) AS cos_sim
+  FROM assign a, q
+  WHERE a.centroid_id = q.probe AND a.vec_id <> 0)
+SELECT vec_id, centroid_id, cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+
+_LSH_PLANES = 8
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucketing for cosine ANN: signed random projections.
+
+    Hyperplane j = (embedding of vec j) - (embedding of vec j+8) — a
+    deterministic, roughly mean-free direction derived from the data
+    itself; bit_j = sign(dot(e, h_j)); bucket = Σ bit_j << j.  Vectors
+    in the same bucket are ANN candidates (Charikar SimHash for
+    vectors).
+
+    Scale: 8 planes broadcast; assignment is map-side; the only shuffle
+    is the per-vector bit aggregation — candidate generation becomes an
+    equi-join on `bucket` instead of an all-pairs scan.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    lo = e.where(F.col("vec_id") < _LSH_PLANES).select(
+        F.col("vec_id").alias("plane_id"),
+        F.col("embedding").cast("array<double>").alias("pa"),
+    )
+    hi = e.where(
+        (F.col("vec_id") >= _LSH_PLANES) & (F.col("vec_id") < 2 * _LSH_PLANES)
+    ).select(
+        (F.col("vec_id") - _LSH_PLANES).alias("plane_id"),
+        F.col("embedding").cast("array<double>").alias("pb"),
+    )
+    planes = lo.join(hi, "plane_id").select(
+        "plane_id", F.zip_with("pa", "pb", lambda x, y: x - y).alias("h")
+    )
+    bit = (_dot(F.col("embedding").cast("array<double>"), F.col("h")) >= 0).cast("int")
+    return (
+        e.crossJoin(F.broadcast(planes))
+        .select("vec_id", "plane_id", bit.alias("bit"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.expr("shiftleft(bit, plane_id)")).cast("int").alias("bucket"))
+    )
+
+
+ORACLE_ANN_LSH_BUCKETS = f"""
+WITH lo AS (SELECT vec_id AS plane_id, CAST(embedding AS DOUBLE[]) AS pa
+            FROM embeddings WHERE vec_id < {_LSH_PLANES}),
+hi AS (SELECT vec_id - {_LSH_PLANES} AS plane_id, CAST(embedding AS DOUBLE[]) AS pb
+       FROM embeddings WHERE vec_id >= {_LSH_PLANES} AND vec_id < {2 * _LSH_PLANES}),
+planes AS (
+  SELECT lo.plane_id,
+         (SELECT list(a - b ORDER BY i)
+          FROM (SELECT unnest(pa) a, unnest(pb) b,
+                       generate_subscripts(pa, 1) i)) AS h
+  FROM lo JOIN hi ON lo.plane_id = hi.plane_id),
+bits AS (
+  SELECT e.vec_id, p.plane_id,
+         CASE WHEN (SELECT sum(x * y)
+                    FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) x,
+                                 unnest(p.h) y)) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p)
+SELECT vec_id, CAST(sum(bit << plane_id) AS INT) AS bucket
+FROM bits GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis for training-data curation
 # ---------------------------------------------------------------------------
@@ -818,6 +1039,71 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
        CAST(greatest(len(string_split(text, ' ')), CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens_budget
 FROM documents
+"""
+
+
+_STOPWORDS = ["the", "and", "of", "a", "to", "in"]
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation quality scoring: stopword ratio + punctuation ratio +
+    length gates -> keep/drop flag (the C4/Gopher-rules pattern).
+
+    Stopword ratio via explode + broadcast IN-list + groupBy (partial
+    agg); punctuation ratio via regexp arithmetic — all JVM-side.
+
+    Scale: one explode + one shuffle keyed by doc_id; the stopword list
+    is a literal IN (no join); a 100 TB corpus filters in a single pass.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("tok").isin(_STOPWORDS).cast("int")).alias("n_stop"),
+        F.first("text").alias("text"),
+    )
+    punct_ratio = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        )
+        / F.length("text"),
+        6,
+    )
+    stop_ratio = F.round(F.col("n_stop") / F.col("n_tokens"), 6)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            (stop_ratio >= 0.01) & (punct_ratio <= 0.2) & (F.col("n_tokens") >= 10)
+        ).alias("keep"),
+    )
+
+
+ORACLE_QUALITY_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok FROM documents),
+per_doc AS (
+  SELECT doc_id, any_value(text) AS text, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ({", ".join("'" + s + "'" for s in _STOPWORDS)})
+                  THEN 1 ELSE 0 END) AS n_stop
+  FROM toks WHERE tok <> '' GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       (round(CAST(n_stop AS DOUBLE) / n_tokens, 6) >= 0.01
+        AND round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text), 6) <= 0.2
+        AND n_tokens >= 10) AS keep
+FROM per_doc
 """
 
 
@@ -924,6 +1210,42 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation assembly through the REAL extraction path:
+    synthesize plain-text turns from documents, extract via the Arrow UDF,
+    then `conversation_text` (groupBy + array_sort on (turn_idx, text) —
+    the cross-turn analog of the reference's page-list assembly,
+    __init__.py:91-95).  Plain payloads keep the oracle SQL-expressible:
+    assembled text == string_agg(trim(text)) ordered by turn_idx.
+
+    Scale: one shuffle keyed by conv_id; ordering is within-group
+    (array_sort), never a global sort.
+    """
+    from .job import conversation_text, extract_detailed
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.concat(
+            F.lit("conv-"), (F.col("doc_id") / 10).cast("bigint").cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        "text",
+    )
+    ext = extract_detailed(t, num_partitions=16, salt_buckets=2)
+    return conversation_text(ext).select(
+        "conv_id", F.col("text").alias("conv_text"), F.col("n_turns").cast("int").alias("n_turns")
+    )
+
+
+ORACLE_ASSEMBLE_CONVERSATIONS = """
+SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+       string_agg(trim(text), chr(10) ORDER BY doc_id % 10) AS conv_text,
+       CAST(count(*) AS INT) AS n_turns
+FROM documents
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + stubbed decode via mapInPandas)
 # ---------------------------------------------------------------------------
@@ -974,13 +1296,18 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embed_cosine": q_dedup_embed_cosine,
     "cosine_topk": q_cosine_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_search": q_ann_ivf_search,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
     "lang_quality": q_lang_quality,
+    "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "extract_plain_docs": q_extract_plain_docs,
     "extract_transcripts": q_extract_transcripts,
+    "assemble_conversations": q_assemble_conversations,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -1001,12 +1328,17 @@ ORACLES: Dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_embed_cosine": ORACLE_DEDUP_EMBED_COSINE,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_ivf_assign": ORACLE_ANN_IVF_ASSIGN,
+    "ann_ivf_search": ORACLE_ANN_IVF_SEARCH,
+    "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "lang_quality": ORACLE_LANG_QUALITY,
+    "quality_score": ORACLE_QUALITY_SCORE,
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "extract_plain_docs": ORACLE_EXTRACT_PLAIN_DOCS,
     # extract_transcripts: non-SQL-expressible (HTML/pdf UDF parse) — rows-only
+    "assemble_conversations": ORACLE_ASSEMBLE_CONVERSATIONS,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }

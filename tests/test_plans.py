@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the 100 TB-critical plan properties.
+
+Correct rows are not enough — these tests pin the plan shape that makes
+each query viable at scale: filters/projections reaching the parquet
+scan, small dims broadcast (no sort-merge shuffle of the fact table),
+map-side partial aggregation, top-N via TakeOrderedAndProject (never a
+global sort), and the extraction pipeline staying a single Arrow stage
+over a pruned 3-column scan.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from occular_ocr_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_nodes(plan: str, name: str) -> int:
+    """Count physical-plan nodes by their '(k) Name' detail headers (the
+    tree rendering would double-count every node)."""
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.MULTILINE))
+
+
+def test_scan_prune_pushdown_and_pruning(spark):
+    p = plan_of(Q.q_scan_prune(spark, SF_DIR))
+    # predicate reaches the parquet reader
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1]
+    # column pruning: only the 3 needed columns in ReadSchema
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+@pytest.mark.parametrize("qname", ["join_broadcast", "multi_join"])
+def test_dim_joins_broadcast(spark, qname):
+    p = plan_of(Q.QUERIES[qname](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the fact table is never shuffled
+
+
+def test_groupby_agg_is_partial(spark):
+    p = plan_of(Q.q_groupby_agg(spark, SF_DIR))
+    # map-side combine: a partial HashAggregate before the exchange and a
+    # final one after it
+    assert n_nodes(p, "HashAggregate") == 2
+    assert "partial_sum" in p
+    assert "hashpartitioning(l_returnflag" in p
+
+
+def test_topn_never_global_sorts(spark):
+    p = plan_of(Q.q_order_restore(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort node
+
+
+def test_extraction_plan_single_arrow_stage_pruned_scan(spark):
+    from occular_ocr_spark.job import extract_detailed
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        Q.F.col("doc_id").cast("string").alias("conv_id"),
+        Q.F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    p = plan_of(extract_detailed(df, num_partitions=4, salt_buckets=2))
+    # exactly one Python/Arrow eval stage, after one hash exchange
+    assert n_nodes(p, "MapInArrow") + n_nodes(p, "ArrowEvalPython") == 1
+    assert n_nodes(p, "Exchange") == 1
+    # scan pruned to the 2 needed source columns (lang/source/n_chars never read)
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema and "source" not in read_schema
+
+
+def test_exact_dedup_single_shuffle(spark):
+    p = plan_of(Q.q_dedup_exact(spark, SF_DIR))
+    # digest computed map-side, one exchange on the digest, partial agg
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "HashAggregate") == 2

@@ -1,0 +1,81 @@
+"""Streaming extraction: equality with the batch path, incremental
+exactly-once resume, and watermarked windowed aggregation."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from occular_ocr_spark.fixtures import write_transcripts_parquet
+from occular_ocr_spark.job import extract_detailed
+from occular_ocr_spark.streaming import (
+    extract_stream,
+    read_transcript_stream,
+    turn_rate,
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _rows(df, cols=("conv_id", "turn_idx", "method", "text")):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _run_drain(spark, input_dir, out_dir, ckpt_dir):
+    q = extract_stream(spark, input_dir, out_dir, ckpt_dir, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    write_transcripts_parquet(f"{input_dir}/a.parquet", n_convs=12, seed=31)
+    write_transcripts_parquet(f"{input_dir}/b.parquet", n_convs=9, seed=32)
+
+    _run_drain(spark, input_dir, out_dir, ckpt_dir)
+    got = spark.read.parquet(out_dir)
+    want = extract_detailed(spark.read.parquet(input_dir))
+    assert _rows(got) == _rows(want)  # per-turn equality, streaming == batch
+
+    # Incremental resume: a new file lands; only IT is processed (the
+    # checkpoint skips committed batches), and the union stays exact.
+    write_transcripts_parquet(f"{input_dir}/c.parquet", n_convs=7, seed=33)
+    _run_drain(spark, input_dir, out_dir, ckpt_dir)
+    got2 = spark.read.parquet(out_dir)
+    want2 = extract_detailed(spark.read.parquet(input_dir))
+    # Multiset equality with the batch result proves exactly-once: had the
+    # resumed run re-processed a committed file, got2 would hold extra
+    # copies that the batch result does not.  (conv_ids intentionally
+    # collide across fixture files, so keys alone can't be unique here.)
+    assert _rows(got2) == _rows(want2)
+
+
+def test_turn_rate_windowed_agg(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    write_transcripts_parquet(f"{input_dir}/a.parquet", n_convs=10, seed=41)
+
+    stream = read_transcript_stream(spark, input_dir)
+    q = (
+        turn_rate(stream, watermark="10 minutes", window="5 minutes")
+        .writeStream.format("memory")
+        .queryName("turn_rate_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(
+        spark.table("turn_rate_t"), cols=("win_start", "role", "n_turns")
+    )
+    batch = spark.read.parquet(input_dir)
+    want = _rows(
+        batch.groupBy(F.window("ts", "5 minutes").alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("win.start").alias("win_start"), "role", "n_turns"),
+        cols=("win_start", "role", "n_turns"),
+    )
+    assert got == want
+    spark.catalog.dropTempView("turn_rate_t")

@@ -60,6 +60,8 @@ HEADLINE = [
     "ann_ivf_search",
     "ann_lsh_buckets",
     "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_features",
     "extract_plain_docs",
     "assemble_conversations",
     "extract_transcripts",

@@ -20,6 +20,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -96,3 +99,133 @@ def decode_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: binary -> fixed-dim float vector (the "image
+# embedding" pass of a training-data pipeline).  Vectorized with numpy over
+# the whole Arrow batch; only the kernel is a deterministic stand-in.
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """df(doc_id, payload: binary) -> L1-normalized byte-bucket histogram,
+    a deterministic FEATURE_DIM-dim stand-in for a vision encoder.  In
+    production the body becomes a batched model forward (the Arrow batch
+    IS the inference batch — the recognizer's width bucket,
+    recognizer_onnx.py:60-86); the schema/batching/normalization
+    contract is the real one, feeding the ANN queries' embedding shape.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
+                hist = np.bincount(arr >> 5, minlength=FEATURE_DIM).astype(np.float64)
+                feats.append((hist / hist.sum()).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "features": feats}
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize: binary -> binary with target dims recorded.  The pixel resample
+# is stubbed (no image libs); the pass-through keeps the payload column
+# binary end-to-end, which is the property the pipeline needs.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """df(doc_id, payload) -> payload with (width, height) metadata.
+
+    DETERMINISTIC STAND-IN: real resampling needs PIL/libvips (absent
+    here) — production wires the decode->resize->encode into this body;
+    the stand-in passes bytes through so downstream stages see a stable
+    binary column.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["payload"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one video row -> N frame rows (batch-shape change, the
+# posexplode-through-a-UDF pattern).  "Frames" are fixed-size byte chunks
+# standing in for decoded frames; the 1->N row expansion inside
+# mapInPandas is the real production mechanic.
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+FRAME_BYTES = 256
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """df(doc_id, payload) -> one row per sampled frame (every
+    ``every_n``-th fixed-size chunk).  In production the chunker becomes
+    an ffmpeg keyframe iterator; the row-expansion contract — output
+    batches longer than input batches, frame_idx preserving source order
+    — is exactly what a video pipeline needs at scale (no driver-side
+    explode, expansion happens inside the Arrow batch).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(b)
+                n_frames = max(1, (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES)
+                for k in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    frames.append(buf[k * FRAME_BYTES : (k + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1275,6 +1275,46 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the mapInPandas 1->N row-expansion UDF:
+    one 'video' (binary payload) row becomes one row per sampled frame.
+    Payloads here are ASCII bytes, so the DuckDB twin can express the
+    chunking with substr arithmetic — cross-checking the expansion
+    contract itself (count, indices, content)."""
+    from .functions.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = sample_frames(d, every_n=2)
+    return out.select(
+        "doc_id", "frame_idx", F.decode(F.col("frame"), "UTF-8").alias("frame_text")
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       substr(text, k * 256 + 1, 256) AS frame_text
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(1, CAST(ceil(length(text) / 256.0) AS INT)) - 1)) AS k
+  FROM documents)
+WHERE k % 2 = 0
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (byte-bucket histogram
+    stand-in for a vision encoder).  Not SQL-expressible (numpy kernel)
+    — rows-only check; dims/normalization pinned by pytest."""
+    from .functions.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_features(d)
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -1309,6 +1349,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_transcripts": q_extract_transcripts,
     "assemble_conversations": q_assemble_conversations,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1341,4 +1383,6 @@ ORACLES: Dict[str, str] = {
     # extract_transcripts: non-SQL-expressible (HTML/pdf UDF parse) — rows-only
     "assemble_conversations": ORACLE_ASSEMBLE_CONVERSATIONS,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    # multimodal_features: numpy kernel, not SQL-expressible — rows-only
 }

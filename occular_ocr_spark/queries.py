@@ -761,11 +761,29 @@ def _l2norm(a):
     )
 
 
+def _dot_unrolled(a, b, dim: int):
+    """Unrolled fixed-dim dot product: a left-to-right sum of dim
+    element products.  Identical FP order to _dot (and to the oracle's
+    ordered unnest-sum), but a flat expression tree that whole-stage
+    codegen compiles — versus the interpreted per-element closures of
+    aggregate(zip_with(...)), which dominate pair-scoring cost at
+    n²/K candidate pairs."""
+    out = a[0] * b[0]
+    for i in range(1, dim):
+        out = out + a[i] * b[i]
+    return out
+
+
 _COS_DUP_THRESH = 0.4
 
 
 def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, embedding, centroid_id): nearest of the K fixed centroids."""
+    """(vec_id, emb, norm, centroid_id): nearest of the K fixed centroids.
+
+    The L2 norm is computed ONCE per vector here, before any pair join —
+    at n²/K candidate pairs, recomputing norms per pair would triple the
+    per-pair expression cost (the dominant term of blocked dedup).
+    """
     e = _t(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("centroid_id"),
@@ -791,7 +809,7 @@ def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("vec_id", "emb", "centroid_id")
+        .select("vec_id", "emb", _l2norm(F.col("emb")).alias("norm"), "centroid_id")
     )
 
 
@@ -804,7 +822,10 @@ dists AS (
           FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) a, unnest(c.cvec) b)) AS d2
   FROM embeddings e CROSS JOIN cents c),
 assign AS (
-  SELECT vec_id, emb, centroid_id FROM (
+  SELECT vec_id, emb,
+         sqrt((SELECT sum(x * x) FROM (SELECT unnest(emb) x))) AS norm,
+         centroid_id
+  FROM (
     SELECT vec_id, emb, centroid_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
     FROM dists)
@@ -824,17 +845,23 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     that's n²/K — the standard semantic-dedup design (e.g. SemDeDup) at
     corpus scale, with K sized so buckets fit an executor.
     """
-    asg = _ivf_assignment(spark, sf_dir)
+    # Persist the assignment: the self-join would otherwise recompute the
+    # whole quantizer (crossJoin + window) once per side.  At cluster
+    # scale this is the materialized IVF index the pair scan reads.
+    asg = _ivf_assignment(spark, sf_dir).persist()
+    dim = len(asg.select("emb").first()[0])  # one-row driver lookup
     a = asg.alias("a")
     b = asg.alias("b")
     cos = F.round(
-        _dot(F.col("a.emb"), F.col("b.emb"))
-        / (_l2norm(F.col("a.emb")) * _l2norm(F.col("b.emb"))),
+        _dot_unrolled(F.col("a.emb"), F.col("b.emb"), dim)
+        / (F.col("a.norm") * F.col("b.norm")),
         6,
     )
     return (
         a.join(
-            b,
+            # broadcast: centroid_id has only K distinct values — a shuffle
+            # hash join would land all pairs of a bucket on one task
+            F.broadcast(b),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -854,8 +881,7 @@ pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
          round(
            (SELECT sum(x * y) FROM (SELECT unnest(a.emb) x, unnest(b.emb) y))
-           / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(a.emb) x)))
-              * sqrt((SELECT sum(y * y) FROM (SELECT unnest(b.emb) y)))), 6) AS cos_sim
+           / (a.norm * b.norm), 6) AS cos_sim
   FROM assign a JOIN assign b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, centroid_id, cos_sim
@@ -876,8 +902,8 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in qrow["emb"]]
     probe = int(qrow["centroid_id"])
     qlit = F.array(*[F.lit(v) for v in qvec])
-    norm_q = float(sum(v * v for v in qvec) ** 0.5)
-    sim = F.round(_dot(F.col("emb"), qlit) / (_l2norm(F.col("emb")) * F.lit(norm_q)), 6)
+    norm_q = float(qrow["norm"])
+    sim = F.round(_dot(F.col("emb"), qlit) / (F.col("norm") * F.lit(norm_q)), 6)
     return (
         asg.where((F.col("centroid_id") == probe) & (F.col("vec_id") != 0))
         .select("vec_id", "centroid_id", sim.alias("cos_sim"))
@@ -888,13 +914,12 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_IVF_SEARCH = f"""
 WITH {_IVF_ASSIGN_SQL},
-q AS (SELECT emb AS qe, centroid_id AS probe FROM assign WHERE vec_id = 0),
+q AS (SELECT emb AS qe, norm AS qnorm, centroid_id AS probe FROM assign WHERE vec_id = 0),
 scored AS (
   SELECT a.vec_id, a.centroid_id,
          round(
            (SELECT sum(x * y) FROM (SELECT unnest(a.emb) x, unnest(q.qe) y))
-           / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(a.emb) x)))
-              * sqrt((SELECT sum(y * y) FROM (SELECT unnest(q.qe) y)))), 6) AS cos_sim
+           / (a.norm * q.qnorm), 6) AS cos_sim
   FROM assign a, q
   WHERE a.centroid_id = q.probe AND a.vec_id <> 0)
 SELECT vec_id, centroid_id, cos_sim

@@ -512,22 +512,35 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    seeds = spark.range(_MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("sh")))).alias("mh"))
+    # All K minhashes in ONE partial-aggregated pass: K min() aggregates
+    # over the shingle rows — versus a broadcast crossJoin with the seed
+    # table, which would push K copies of every shingle through the
+    # shuffle.  At 100 TB the shuffle volume difference is the whole game.
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(k), F.col("sh")))).alias(f"mh{k}")
+            for k in range(_MINHASH_SEEDS)
+        ]
     )
-    bands = (
-        sig.withColumn("band", F.floor(F.col("seed") / _MINHASH_BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("rows"))
-        .select(
-            "doc_id",
-            "band",
-            F.array_join(F.transform("rows", lambda r: r["mh"]), "|").alias("band_key"),
-        )
+    n_bands = _MINHASH_SEEDS // _MINHASH_BAND_ROWS
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * _MINHASH_BAND_ROWS + r}")
+                        for r in range(_MINHASH_BAND_ROWS)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    bands = sig.select(
+        "doc_id", F.explode(band_struct).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1137,17 +1150,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     over all 8-char rolling windows (rolling-hash analog, portable via
     md5 over substrings)."""
     d = _t(spark, sf_dir, "documents")
-    windows = F.explode(
-        F.when(
-            F.length("text") >= 8,
-            F.sequence(F.lit(1), F.length("text") - 7),
-        ).otherwise(F.array(F.lit(1)))
-    )
-    return (
-        d.select("doc_id", "text", windows.alias("i"))
-        .select("doc_id", F.md5(F.substring(F.col("text"), F.col("i"), 8)).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.min("h").alias("fingerprint"))
+    idx = F.when(
+        F.length("text") >= 8, F.sequence(F.lit(1), F.length("text") - 7)
+    ).otherwise(F.array(F.lit(1)))
+    # array_min over transform: the whole rolling-window min is computed
+    # map-side inside one expression — no explode (which would emit one
+    # row per character of the corpus) and NO shuffle at all.
+    return d.select(
+        "doc_id",
+        F.array_min(
+            F.transform(idx, lambda i: F.md5(F.col("text").substr(i, F.lit(8))))
+        ).alias("fingerprint"),
     )
 
 

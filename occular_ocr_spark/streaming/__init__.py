@@ -92,6 +92,47 @@ def extract_stream(
     return writer.start()
 
 
+def conversation_progress(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-conversation running turn counter + high-water turn_idx.
+
+    The streaming analog of the reference's indexed result collection
+    (pipeline.py:167-188): state keyed by conv_id survives across
+    micro-batches (and across restarts via the checkpoint), so a
+    conversation arriving in fragments over many files/batches still
+    reports a single consistent cumulative row per update.
+
+    Scale: state is (long, int) per live conversation, hash-distributed
+    by the stream's groupBy — bounded, skew-tolerant, and exactly the
+    shape applyInPandasWithState's RocksDB-backed state store is for.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mx = state.get
+        else:
+            n, mx = 0, -1
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "max_turn": [mx]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType="conv_id string, n_turns long, max_turn int",
+        stateStructType="n long, mx int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def turn_rate(
     stream: DataFrame,
     watermark: str = "10 minutes",

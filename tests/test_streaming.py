@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from occular_ocr_spark.fixtures import write_transcripts_parquet
 from occular_ocr_spark.job import extract_detailed
 from occular_ocr_spark.streaming import (
+    conversation_progress,
     extract_stream,
     read_transcript_stream,
     turn_rate,
@@ -79,3 +80,49 @@ def test_turn_rate_windowed_agg(spark, tmp_path):
     )
     assert got == want
     spark.catalog.dropTempView("turn_rate_t")
+
+
+def test_conversation_progress_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-conv state accumulates across
+    micro-batches AND across restarts (checkpointed state store)."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    write_transcripts_parquet(f"{input_dir}/a.parquet", n_convs=8, seed=51)
+
+    def run_once():
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        q = (
+            conversation_progress(read_transcript_stream(spark, input_dir))
+            .writeStream.foreachBatch(sink)  # supports checkpoint recovery
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in rows:  # last update per conversation wins
+            latest[r["conv_id"]] = (r["n_turns"], r["max_turn"])
+        return latest
+
+    got = run_once()
+    batch = spark.read.parquet(input_dir)
+    want = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in batch.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+    # restart with a new file: state restored from checkpoint, counters
+    # now reflect the cumulative corpus (same convs, doubled turns)
+    write_transcripts_parquet(f"{input_dir}/b.parquet", n_convs=8, seed=51)
+    got2 = run_once()
+    want2 = {c: (2 * n, mx) for c, (n, mx) in want.items()}
+    assert got2 == want2

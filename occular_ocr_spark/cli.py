@@ -1,0 +1,131 @@
+"""spark-submit job entry — the CLI sink analog (reference cli.py:22-180).
+
+The reference's single-process CLI (`ocr <file> [--dpi --workers
+--force-ocr --json --out]`, ``cli.py:39-105``) becomes a cluster job.
+Locally: ``python -m occular_ocr_spark ...``.  On a cluster (spark-submit
+takes a script, not ``-m``), ship the package and a two-line launcher::
+
+    echo 'import sys; from occular_ocr_spark.cli import main; sys.exit(main())' > launch.py
+    spark-submit --py-files pkg.zip launch.py \
+        --input  <parquet/iceberg dir of transcripts> \
+        --output <sink dir> \
+        [--checkpointed] [--num-buckets 64] [--num-ranges 8] \
+        [--partitions 256] [--salt 8] [--force-ocr] \
+        [--snapshot-id N] [--format parquet|json] [--text-only]
+
+Flag mapping from the reference surface:
+
+* ``--force-ocr``       -> same semantic: skip the trusted text-layer
+                           parse, run the heuristic path (pipeline.py:147).
+* ``--workers``         -> ``--partitions`` (Spark task parallelism
+                           replaces the thread pool, pipeline.py:14-26).
+* ``--out`` JSON file   -> ``--format json`` (one JSON object per line,
+                           ensure_ascii=False like cli.py:165).
+* default text print    -> ``--text-only`` (conv_id, turn_idx, text).
+* ``--dpi``             -> no analog (no rasterization path; the neural
+                           OCR inner loop is stood in for — SURVEY §2 S3).
+
+With ``--checkpointed`` the write goes through
+:class:`~occular_ocr_spark.sink.CheckpointedParquetSink` — resumable,
+idempotent, lineage-carrying (the north rule's sink); re-running the
+same command after a kill completes only the uncommitted ranges.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="occular_ocr_spark", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("--input", required=True, help="transcripts table path (parquet)")
+    p.add_argument("--output", required=True, help="sink directory")
+    p.add_argument("--format", choices=["parquet", "json"], default="parquet")
+    p.add_argument("--text-only", action="store_true",
+                   help="emit (conv_id, turn_idx, text) only")
+    p.add_argument("--force-ocr", action="store_true",
+                   help="skip trusted text-layer parse (reference --force-ocr)")
+    p.add_argument("--partitions", type=int, default=None,
+                   help="repartition width (reference --workers analog)")
+    p.add_argument("--salt", type=int, default=0,
+                   help="salt buckets for skewed mega-conversations")
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="source snapshot id recorded in lineage")
+    p.add_argument("--checkpointed", action="store_true",
+                   help="resumable bucket-range sink with manifest + metrics")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--num-ranges", type=int, default=8)
+    p.add_argument("--master", default=None,
+                   help="override master (else spark-submit's choice)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("occular-ocr-spark-extract")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.checkpointed:
+            from .sink import CheckpointedParquetSink
+
+            sink = CheckpointedParquetSink(
+                args.output,
+                num_buckets=args.num_buckets,
+                num_ranges=args.num_ranges,
+            )
+            committed = sink.write(
+                spark.read.parquet(args.input),
+                src_snapshot_id=args.snapshot_id,
+                num_partitions=args.partitions,
+                salt_buckets=args.salt,
+                force_ocr=args.force_ocr,
+            )
+            done = len(committed)
+            total = sum(e["metrics"].get("n_rows", 0) for e in committed)
+            print(f"committed {done} ranges, {total} rows; "
+                  f"complete={sink.is_complete()}")
+            return 0
+
+        from .job import extract_detailed, extract_text
+
+        df = spark.read.parquet(args.input)
+        out = (
+            extract_text(
+                df,
+                force_ocr=args.force_ocr,
+                num_partitions=args.partitions,
+                salt_buckets=args.salt,
+            )
+            if args.text_only
+            else extract_detailed(
+                df,
+                force_ocr=args.force_ocr,
+                src_snapshot_id=args.snapshot_id,
+                num_partitions=args.partitions,
+                salt_buckets=args.salt,
+            )
+        )
+        if args.format == "json":
+            # one JSON object per line, non-ASCII preserved (cli.py:165)
+            out.write.mode("overwrite").option("ignoreNullFields", "false").json(
+                args.output
+            )
+        else:
+            out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output} ({args.format})")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

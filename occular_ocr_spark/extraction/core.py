@@ -100,11 +100,16 @@ def _token_score(token: str) -> float:
     Stands in for the per-timestep ``max_V prob`` of the CTC decoder
     (``crnn_mobilenet.py:146-150``); the block confidence below takes the
     min over these, exactly like ``min_T(max_V prob)``.
+
+    Fast path: a fully-alphanumeric token (the overwhelmingly common
+    case) is one C-level ``str.isalnum`` call instead of a per-char scan
+    — value-identical to the general branch.
     """
     if not token:
         return 0.0
-    alnum = sum(1 for ch in token if ch.isalnum())
-    return alnum / len(token)
+    if token.isalnum():
+        return 1.0
+    return sum(map(str.isalnum, token)) / len(token)
 
 
 def _confidence(tokens: List[str]) -> float:
@@ -182,6 +187,9 @@ def extract_html(payload: str) -> List[Dict]:
 
     def flush() -> None:
         nonlocal cur_parts, cur_start, cur_end, cur_link_chars, cur_text_chars, cur_tag_count
+        if not cur_parts:  # nothing accumulated: only the tag counter can
+            cur_tag_count = 0  # be non-zero — reset it and skip the join
+            return
         raw = " ".join("".join(cur_parts).split())
         if raw:  # blank-line skip (pipeline.py:204)
             tokens = raw.split(" ")
@@ -191,11 +199,13 @@ def extract_html(payload: str) -> List[Dict]:
             score = (1.0 - link_density) / (1.0 + tag_density)
             if score > THRESHOLD:                       # D3 binarize gate
                 if len(raw) >= MIN_AREA:                # D4 area filter
-                    if _mean_token_score(tokens) >= BOX_THRESH:  # D5 score filter
+                    # score each token ONCE; mean feeds D5, min feeds R5
+                    tscores = [_token_score(t) for t in tokens]
+                    if sum(tscores) / len(tscores) >= BOX_THRESH:  # D5 score filter
                         lo, hi = _expand_span(payload, cur_start, cur_end)  # D6/D7
                         y = _line_of(payload, cur_start)
                         blocks.append(
-                            _make_block(lo, hi, y, raw, _confidence(tokens))
+                            _make_block(lo, hi, y, raw, min(tscores))
                         )
         cur_parts = []
         cur_start = -1
@@ -208,19 +218,21 @@ def extract_html(payload: str) -> List[Dict]:
     for m in _TAG_RE.finditer(payload):
         text_run = payload[pos : m.start()]
         if text_run and skip_depth == 0:
-            decoded = _html.unescape(text_run)
-            if decoded.strip():
+            # unescape only when an entity can exist — value-identical
+            decoded = _html.unescape(text_run) if "&" in text_run else text_run
+            stripped_len = len(decoded.strip())
+            if stripped_len:
                 if cur_start < 0:
                     lead = len(text_run) - len(text_run.lstrip())
                     cur_start = pos + lead
                 trail = len(text_run) - len(text_run.rstrip())
                 cur_end = m.start() - trail
             cur_parts.append(decoded)
-            stripped_len = len(decoded.strip())
             cur_text_chars += stripped_len
             if link_depth > 0:
                 cur_link_chars += stripped_len
-        closing, name, _attrs, self_close = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        closing, name, _attrs, self_close = m.groups()
+        name = name.lower()
         if name in _SKIP_CONTENT_TAGS:
             if closing:
                 skip_depth = max(0, skip_depth - 1)
@@ -238,13 +250,13 @@ def extract_html(payload: str) -> List[Dict]:
         pos = m.end()
     tail = payload[pos:]
     if tail and skip_depth == 0:
-        decoded = _html.unescape(tail)
-        if decoded.strip():
+        decoded = _html.unescape(tail) if "&" in tail else tail
+        stripped_len = len(decoded.strip())
+        if stripped_len:
             if cur_start < 0:
                 cur_start = pos + (len(tail) - len(tail.lstrip()))
             cur_end = len(payload) - (len(tail) - len(tail.rstrip()))
         cur_parts.append(decoded)
-        stripped_len = len(decoded.strip())
         cur_text_chars += stripped_len
         if link_depth > 0:
             cur_link_chars += stripped_len

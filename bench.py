@@ -40,6 +40,8 @@ HEADLINE = [
     "reading_order",
     "order_restore",
     "topk_per_group",
+    "anti_join",
+    "rollup_daily",
     "join_broadcast",
     "multi_join",
     "groupby_agg",

@@ -329,6 +329,64 @@ WHERE rk <= 2
 """
 
 
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders (the 'unprocessed items'
+    pattern of a resumable pipeline — find keys the sink doesn't have).
+
+    Scale: Spark plans anti joins with a broadcast when the right side's
+    distinct keys fit (here orders' keys are reduced before the join by
+    Catalyst); the classic 100 TB shape is anti-joining the manifest of
+    done keys (small) against the corpus (huge) — broadcastable.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: event counts at (day, type), (day), and grand
+    total in one pass — the reporting rollup a curation pipeline emits.
+
+    Scale: Spark expands rollup into grouping sets within the same
+    single-shuffle aggregate (partial agg still applies); no extra pass
+    per level.
+    """
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        e.rollup(day, F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            # rollup levels surface as NULL keys — coalesce to sentinels so
+            # the output is total-orderable (and comparator-friendly)
+            F.coalesce(F.col("day"), F.lit("1900-01-01").cast("timestamp")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            "n",
+        )
+    )
+
+
+ORACLE_ROLLUP_DAILY = """
+SELECT coalesce(day, TIMESTAMP '1900-01-01') AS day,
+       coalesce(event_type, '(all)') AS event_type,
+       CAST(n AS BIGINT) AS n
+FROM (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+      FROM events
+      GROUP BY ROLLUP(date_trunc('day', ts), event_type))
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-ish sessionization via lag + cumulative sum windows:
     a 30-minute inactivity gap starts a new session."""
@@ -1369,6 +1427,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_agg": q_groupby_agg,
     "order_restore": q_order_restore,
     "topk_per_group": q_topk_per_group,
+    "anti_join": q_anti_join,
+    "rollup_daily": q_rollup_daily,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1403,6 +1463,8 @@ ORACLES: Dict[str, str] = {
     "groupby_agg": ORACLE_GROUPBY_AGG,
     "order_restore": ORACLE_ORDER_RESTORE,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "rollup_daily": ORACLE_ROLLUP_DAILY,
     "sessionize": ORACLE_SESSIONIZE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,

@@ -32,11 +32,13 @@ def value_hash(rows, colnames) -> str:
 
 
 def _norm(v):
+    if v is None:
+        return (0, "")  # sortable against the (1, repr) non-null form
     if isinstance(v, float):
-        return round(v, 6)
+        return (1, repr(round(v, 6)))
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+        return (1, repr(tuple(_norm(x) for x in v)))
+    return (1, repr(v))
 
 
 def main() -> int:

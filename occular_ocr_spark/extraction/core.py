@@ -159,11 +159,21 @@ def _line_of(payload: str, offset: int) -> int:
     return payload.count("\n", 0, offset)
 
 
-def _make_block(start: int, end: int, y: int, text: str, confidence: float) -> Dict:
+def _make_block(start: int, end: int, y: int, text: str, confidence: float):
+    """Internal block record: a flat (start, end, y, text, confidence)
+    tuple.  The dict shape of the public contract (span struct + text +
+    confidence, the reference's result record, pipeline.py:69-73) is
+    applied once at the API boundary (`extract_turn`); the Arrow UDF
+    consumes the tuples directly, skipping three dict allocations per
+    block on the hot path."""
+    return (int(start), int(end), int(y), text, float(confidence))
+
+
+def _block_dict(b) -> Dict:
     return {
-        "span": {"start": int(start), "end": int(end), "y": int(y)},
-        "text": text,
-        "confidence": float(confidence),
+        "span": {"start": b[0], "end": b[1], "y": b[2]},
+        "text": b[3],
+        "confidence": b[4],
     }
 
 
@@ -346,8 +356,11 @@ def extract_plain(payload: str) -> List[Dict]:
     return out
 
 
-def extract_turn(payload: Optional[str], force_ocr: bool = False) -> Dict:
-    """Extract one turn: dispatch -> parse -> gate -> Y-sort -> assemble.
+def extract_turn_raw(payload: Optional[str], force_ocr: bool = False):
+    """Extract one turn to flat tuples: dispatch -> parse -> gate ->
+    Y-sort -> assemble.  Returns ``(method, blocks, text)`` where blocks
+    are ``(start, end, y, text, confidence)`` tuples — the hot-path form
+    the Arrow UDF consumes (``job.extract_detailed``).
 
     The per-turn analog of ``OCRPipeline.process`` (pipeline.py:272-288)
     plus the result assembly of ``pipeline.py:67-77``.  ``force_ocr``
@@ -356,7 +369,6 @@ def extract_turn(payload: Optional[str], force_ocr: bool = False) -> Dict:
     """
     s = payload or ""
     method = dispatch(s)
-    blocks: List[Dict]
     if method == METHOD_PDF_TEXT:
         parsed = None if force_ocr else extract_pdf_text(s)
         if parsed is None:
@@ -374,6 +386,14 @@ def extract_turn(payload: Optional[str], force_ocr: bool = False) -> Dict:
         blocks = extract_plain(s)
     # Stable Y-sort (pipeline.py:76 / :220 / :242 — key is Y only; ties keep
     # detection order because Python's sort is stable).
-    blocks = sorted(blocks, key=lambda b: b["span"]["y"])
-    text = "\n".join(b["text"] for b in blocks)  # __init__.py:93-101
-    return {"method": method, "blocks": blocks, "text": text}
+    blocks.sort(key=lambda b: b[2])
+    text = "\n".join(b[3] for b in blocks)  # __init__.py:93-101
+    return method, blocks, text
+
+
+def extract_turn(payload: Optional[str], force_ocr: bool = False) -> Dict:
+    """Public per-turn API: the reference's record contract
+    (``{"method", "blocks": [{"span", "text", "confidence"}...], "text"}``)
+    over :func:`extract_turn_raw`."""
+    method, blocks, text = extract_turn_raw(payload, force_ocr=force_ocr)
+    return {"method": method, "blocks": [_block_dict(b) for b in blocks], "text": text}

@@ -157,17 +157,17 @@ def extract_detailed(
             b_y: list = []
             b_text: list = []
             b_conf: list = []
+            extract = core.extract_turn_raw
             for payload in payloads:
-                r = core.extract_turn(payload, force_ocr=force)
-                methods.append(r["method"])
-                texts_out.append(r["text"])
-                for b in r["blocks"]:
-                    sp = b["span"]
-                    b_start.append(sp["start"])
-                    b_end.append(sp["end"])
-                    b_y.append(sp["y"])
-                    b_text.append(b["text"])
-                    b_conf.append(b["confidence"])
+                method, blocks, text = extract(payload, force_ocr=force)
+                methods.append(method)
+                texts_out.append(text)
+                for start, end, y, btext, conf in blocks:
+                    b_start.append(start)
+                    b_end.append(end)
+                    b_y.append(y)
+                    b_text.append(btext)
+                    b_conf.append(conf)
                 offsets.append(len(b_start))
             span_arr = pa.StructArray.from_arrays(
                 [

@@ -228,8 +228,9 @@ def _run_level(cores: int, fixture: str, pkg_zip: str) -> dict:
 def _ceiling_worker(chunk):
     from occular_ocr_spark.extraction import core
 
+    extract = core.extract_turn_raw  # the form the Arrow UDF consumes
     for p in chunk:
-        core.extract_turn(p)
+        extract(p)
     return len(chunk)
 
 

@@ -99,6 +99,25 @@ def run_bench(spark, sf_dir: str) -> dict:
     if extraction_sec > 0:
         out["extraction_turns_per_sec"] = round(extraction_rows / extraction_sec, 1)
         out["extraction_rows"] = extraction_rows
+    # Attach the latest N-vs-4N scaling evidence (BENCH/scaling.json,
+    # produced by scripts/bench_scaling.py on a 4M-turn corpus): the
+    # catalog numbers above are sf0.1-sized; the scaling file carries the
+    # throughput story that matters at 10^12 turns.
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling"] = {
+            "corpus_turns": s.get("fixture", {}).get("turns"),
+            "turns_per_sec_by_cores": {
+                str(l["cores"]): l["turns_per_sec"] for l in s.get("levels", [])
+            },
+            "n_to_4n_pairs": s.get("n_to_4n_pairs"),
+            "executor_mode_4x8_turns_per_sec": s.get("executor_mode_4x8", {}).get(
+                "turns_per_sec"
+            ),
+        }
     return out
 
 

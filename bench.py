@@ -40,6 +40,7 @@ HEADLINE = [
     "reading_order",
     "order_restore",
     "topk_per_group",
+    "part_supplier_revenue",
     "anti_join",
     "rollup_daily",
     "join_broadcast",

@@ -329,6 +329,41 @@ WHERE rk <= 2
 """
 
 
+def q_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dim fact join (lineitem ⋈ part ⋈ supplier): revenue by part
+    brand and supplier nation — TPC-H Q9-shape without the order side.
+
+    Scale: both dims broadcast (part and supplier are ~1/5000th of
+    lineitem); the fact table streams through two broadcast joins with
+    zero fact shuffles, then one aggregation exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+ORACLE_PART_SUPPLIER_REVENUE = """
+SELECT p_brand, s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_nationkey
+"""
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti join: customers with no orders (the 'unprocessed items'
     pattern of a resumable pipeline — find keys the sink doesn't have).
@@ -1427,6 +1462,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_agg": q_groupby_agg,
     "order_restore": q_order_restore,
     "topk_per_group": q_topk_per_group,
+    "part_supplier_revenue": q_part_supplier_revenue,
     "anti_join": q_anti_join,
     "rollup_daily": q_rollup_daily,
     "sessionize": q_sessionize,
@@ -1463,6 +1499,7 @@ ORACLES: Dict[str, str] = {
     "groupby_agg": ORACLE_GROUPBY_AGG,
     "order_restore": ORACLE_ORDER_RESTORE,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "part_supplier_revenue": ORACLE_PART_SUPPLIER_REVENUE,
     "anti_join": ORACLE_ANTI_JOIN,
     "rollup_daily": ORACLE_ROLLUP_DAILY,
     "sessionize": ORACLE_SESSIONIZE,

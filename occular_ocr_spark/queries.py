@@ -19,6 +19,8 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import DoubleType
 
+from .functions.multimodal import FEATURE_DIM
+
 _TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -1305,8 +1307,13 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic wrapping by doc_id), run the full extraction pipeline
     with salting + lineage, return per-turn rows.
 
-    Not SQL-expressible (HTML/pdf parsing) — driver records the
-    rows-only check; pytest golden fixtures carry the equality gate.
+    SQL-expressible for these payloads (see ORACLE_EXTRACT_TRANSCRIPTS):
+    the pdf_text/markup/plain branches reduce to trim + whitespace
+    canonicalization, and the HTML branch's detection gates (D3-D5) are
+    computable in SQL because the fixed ``<p>…</p>`` wrap contributes
+    zero links and zero inline tags (score = 1.0).  The full parser
+    behavior (entity decode, nested tags, fallback) stays pinned by the
+    pytest golden fixtures (tests/test_golden_spark.py).
     """
     from .job import extract_detailed
 
@@ -1339,6 +1346,44 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_detailed(t, num_partitions=32, salt_buckets=4, src_snapshot_id=1).select(
         "conv_id", "turn_idx", "method", F.col("text").alias("extracted")
     )
+
+
+# DuckDB twin of the flagship.  Per payload branch (doc_id % 4):
+#   1 pdf_text: the JSON template embeds `text` as the single span; the
+#     documents corpus contains no '"' or '\\', so the JSON always parses
+#     and the extracted line is trim(text).
+#   2 markup:   the fenced region's content is `text` + newline -> trim.
+#   3 plain:    one non-blank line -> trim(text).
+#   0 html:     the <p> block has link_density = 0 and tag_density = 0,
+#     so the D2 score is 1.0 > THRESHOLD (D3) unconditionally; the two
+#     remaining gates ARE encoded below: length >= MIN_AREA (D4) and
+#     mean per-token alnum ratio >= BOX_THRESH (D5).  A gated-out block
+#     yields extracted = '' (the "\n".join of zero blocks).
+# `raw` replays the parser's " ".join(split()) whitespace
+# canonicalization (collapse runs of spaces + trim; the corpus has no
+# tabs/newlines, so ' +' covers all whitespace runs).
+ORACLE_EXTRACT_TRANSCRIPTS = """
+WITH base AS (
+  SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 10 AS INT) AS turn_idx,
+         doc_id % 4 AS branch,
+         trim(regexp_replace(text, ' +', ' ', 'g')) AS raw
+  FROM documents),
+gated AS (
+  SELECT conv_id, turn_idx, branch, raw,
+         CASE WHEN branch <> 0 THEN TRUE ELSE
+           (length(raw) >= 38  -- D4 MIN_AREA
+            AND list_avg(list_transform(string_split(raw, ' '),
+                  t -> CAST(length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                       / length(t))) >= 0.52)  -- D5 BOX_THRESH
+         END AS keep
+  FROM base)
+SELECT conv_id, turn_idx,
+       CASE branch WHEN 0 THEN 'html' WHEN 1 THEN 'pdf_text'
+                   WHEN 2 THEN 'markup' ELSE 'plain' END AS method,
+       CASE WHEN keep THEN raw ELSE '' END AS extracted
+FROM gated
+"""
 
 
 def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1436,14 +1481,50 @@ WHERE k % 2 = 0
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte-bucket histogram
-    stand-in for a vision encoder).  Not SQL-expressible (numpy kernel)
-    — rows-only check; dims/normalization pinned by pytest."""
+    stand-in for a vision encoder), canonicalized to scalar rows.
+
+    The kernel emits ``array<float>`` (functions/multimodal.py:120);
+    array columns are unsortable by generic rows-only comparators, so
+    the catalog entry posexplodes to ``(doc_id, dim_idx, value)`` — one
+    row per feature dimension, every column scalar.  The float32 value
+    is cast to double (exact) and rounded; the oracle replays the same
+    double -> float32 -> double chain with ``CAST(... AS REAL)`` so both
+    engines round through identical IEEE bits.
+    """
     from .functions.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return extract_features(d)
+    feats = extract_features(d)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "value")
+    ).select(
+        "doc_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+# The payloads are UTF-8 encodings of the ASCII `documents.text` column,
+# so byte == code point and n_bytes == length(text); the kernel's
+# `byte >> 5` bucket is `ascii(char) // 32`.  hist/sum is computed in
+# float64 then cast float32 in the kernel — replayed here as
+# DOUBLE -> REAL -> DOUBLE before the final round.
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH chars AS (
+  SELECT doc_id, ascii(substr(text, i, 1)) // 32 AS bucket
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM documents)),
+hist AS (SELECT doc_id, bucket, count(*) AS c FROM chars GROUP BY doc_id, bucket),
+tot AS (SELECT doc_id, count(*) AS t FROM chars GROUP BY doc_id),
+dims AS (SELECT unnest(generate_series(0, {FEATURE_DIM - 1})) AS dim_idx)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(dims.dim_idx AS INT) AS dim_idx,
+       round(CAST(CAST(CAST(coalesce(h.c, 0) AS DOUBLE) / t.t AS REAL) AS DOUBLE), 6) AS value
+FROM tot t CROSS JOIN dims
+LEFT JOIN hist h ON h.doc_id = t.doc_id AND h.bucket = dims.dim_idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1517,9 +1598,9 @@ ORACLES: Dict[str, str] = {
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "extract_plain_docs": ORACLE_EXTRACT_PLAIN_DOCS,
-    # extract_transcripts: non-SQL-expressible (HTML/pdf UDF parse) — rows-only
+    "extract_transcripts": ORACLE_EXTRACT_TRANSCRIPTS,
     "assemble_conversations": ORACLE_ASSEMBLE_CONVERSATIONS,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
-    # multimodal_features: numpy kernel, not SQL-expressible — rows-only
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

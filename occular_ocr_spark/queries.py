@@ -490,8 +490,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs with J ≥ 0.5 are near-dups.
 
     Scale: never materializes the O(n²) pair space — only pairs that
-    collide on a shingle; hot shingles (stopword runs) would need a
-    document-frequency cap, which `sh_freq <= 100` applies.
+    collide on a shingle; hot shingles (stopword runs) need a
+    document-frequency cap, applied HERE as the `size(docs) <= 100`
+    filter on the per-shingle doc-list.  One groupBy(sh) both caps the
+    frequency and emits the doc-list whose in-array pair expansion is
+    bounded by cap² — versus the previous count-over-window pre-pass,
+    which shuffled every shingle a second time before the join's own
+    shuffle.
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("l"))
@@ -516,15 +521,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = sh.withColumn("sh_freq", F.count("*").over(Window.partitionBy("sh"))).where(
-        F.col("sh_freq") <= 100
-    ).drop("sh_freq")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # ONE groupBy(sh) caps hot shingles AND materializes the doc-list;
+    # pairs expand inside the array (bounded by cap²/2 per shingle), so
+    # the self-join on `sh` — two more full-shingle shuffles — is gone.
+    groups = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") <= 100)
+    )
+    sizes = (
+        groups.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    # docs is sorted ascending, so taking only later elements as partner
+    # yields each unordered pair once with doc_a < doc_b.
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        groups.where(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -723,8 +747,9 @@ FROM votes
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprinting (16-bit) — near-dup docs land on nearby
-    fingerprints; candidate pairs = equal fingerprints (Hamming-0 here;
-    banded Hamming-k at scale).
+    fingerprints.  Candidate pairing at Hamming distance ≤ k is
+    q_dedup_simhash_pairs (banded equi-join); this entry is the
+    fingerprint table itself.
 
     Scale: one pass + one groupBy per doc; fingerprint comparison is an
     equi-join on the fingerprint, shuffle-light.
@@ -734,6 +759,82 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_SIMHASH = _simhash_sql("duck")
+
+
+_SIMHASH_HAM_K = 2
+# k+1 = 3 bands covering the 16 fingerprint bits as (shift, width):
+# any pair at Hamming distance <= k agrees exactly on >= 1 whole band
+# (pigeonhole), so a per-band equi-join generates every candidate.
+_SIMHASH_BANDS = ((0, 6), (6, 5), (11, 5))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ k via banding.
+
+    The 16-bit fingerprint splits into k+1 bands; candidates come from
+    an equi-join on (band, band_value) — never a pairwise fingerprint
+    scan — then the exact Hamming distance (bit_count of xor) verifies
+    each candidate.  The Hamming-tolerant analog of the detector's
+    unclip margin (near-misses still pair, dbnet_detector.py:110-121).
+
+    Scale: the same LSH-band design as minhash — candidate volume is
+    linear in true near-dups (plus band collisions), the join keys are
+    16-to-64-value band buckets; at corpus scale widen the fingerprint
+    and bands together (64-bit / 4×16) to keep buckets sparse.
+    """
+    _register_views(spark, sf_dir, ["documents"])
+    fp = spark.sql(_simhash_sql("spark"))
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.shiftright(F.col("simhash"), shift) % F.lit(1 << width)
+                ).alias("val"),
+            )
+            for i, (shift, width) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(band_struct).alias("b")
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= _SIMHASH_HAM_K)
+        .distinct()
+    )
+
+
+_SIMHASH_BAND_CASE = " ".join(
+    f"WHEN {i} THEN (simhash // {1 << shift}) % {1 << width}"
+    for i, (shift, width) in enumerate(_SIMHASH_BANDS)
+)
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH fp AS ({_simhash_sql("duck")}),
+bands AS (
+  SELECT doc_id, simhash, band,
+         CASE band {_SIMHASH_BAND_CASE} END AS val
+  FROM fp CROSS JOIN (SELECT unnest([{", ".join(str(i) for i in range(len(_SIMHASH_BANDS)))}]) AS band))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -941,36 +1042,67 @@ assign AS (
 """
 
 
+_COS_SUBBUCKETS = 8
+
+
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Vector dimensionality via a single-row pushed-limit parquet scan
+    (NOT the full quantizer job); empty table -> 1, a harmless
+    placeholder since every downstream plan is empty anyway."""
+    row = _t(spark, sf_dir, "embeddings").select(F.size("embedding").alias("d")).head(1)
+    return int(row[0]["d"]) if row else 1
+
+
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, IVF-blocked.
+    """Embedding-cosine near-dup pairs, IVF-blocked, sub-bucketed.
 
     Blocking = the IVF coarse quantizer: only pairs assigned to the SAME
     centroid are compared (never the O(n²) pair space), then cosine ≥
     threshold keeps true near-dups.  Missing cross-bucket pairs is the
     documented recall trade-off of blocked dedup; multi-probe raises it.
 
-    Scale: candidate volume is Σ_bucket |bucket|²; with balanced buckets
-    that's n²/K — the standard semantic-dedup design (e.g. SemDeDup) at
-    corpus scale, with K sized so buckets fit an executor.
+    Pair enumeration is a SHUFFLE join on (centroid_id, sub-bucket) —
+    broadcast memory is O(K·dim) (the centroids inside _ivf_assignment),
+    never O(n·dim): with only K distinct centroid ids a plain shuffle
+    join would land each bucket's |bucket|² pair scan on ONE task, so
+    each inverted list is split into s sub-buckets (chunk = vec_id mod
+    s) and the left side is replicated once per sub-bucket, giving K·s
+    join keys.  Each (centroid, j) task scans |bucket| × |bucket|/s
+    rows; total work stays Σ|bucket|²  = n²/K, parallelism is K·s, and
+    per-task memory is bounded by |bucket|/s build rows.  The cost is a
+    deliberate s× shuffle of the left side — linear in the corpus,
+    versus the O(n·dim) per-executor broadcast it replaces, which grows
+    with the corpus and dies first at 100 TB.
+
+    Scale: the standard semantic-dedup design (e.g. SemDeDup) with s
+    sized so |bucket|/s rows fit an executor's join hash map.
     """
-    # Persist the assignment: the self-join would otherwise recompute the
-    # whole quantizer (crossJoin + window) once per side.  At cluster
-    # scale this is the materialized IVF index the pair scan reads.
+    s = _COS_SUBBUCKETS
+    dim = _embedding_dim(spark, sf_dir)
+    # Persist the assignment: both join sides read it — without the
+    # persist the whole quantizer (crossJoin + window) runs twice.  At
+    # cluster scale this is the materialized IVF index (a parquet table
+    # in production, where its lifetime outlives this one query).
     asg = _ivf_assignment(spark, sf_dir).persist()
-    dim = len(asg.select("emb").first()[0])  # one-row driver lookup
-    a = asg.alias("a")
-    b = asg.alias("b")
+    chunked = asg.withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(s)))
+    arep = chunked.withColumn(
+        "j", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+    )
     cos = F.round(
         _dot_unrolled(F.col("a.emb"), F.col("b.emb"), dim)
         / (F.col("a.norm") * F.col("b.norm")),
         6,
     )
     return (
-        a.join(
-            # broadcast: centroid_id has only K distinct values — a shuffle
-            # hash join would land all pairs of a bucket on one task
-            F.broadcast(b),
+        arep.alias("a")
+        .join(
+            # shuffle-hash hint: build side per key is |bucket|/s rows —
+            # tiny and bounded; also pins the planner away from an AQE
+            # auto-broadcast at bench scale so the recorded plan is the
+            # 100 TB plan.
+            chunked.alias("b").hint("shuffle_hash"),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.j") == F.col("b.chunk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -997,23 +1129,50 @@ FROM pairs WHERE cos_sim >= {_COS_DUP_THRESH}
 """
 
 
-def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN search: the scale path of cosine_topk.
+_IVF_NPROBE = 2
 
-    Query = vec 0; probe its nearest centroid's inverted list only, then
-    exact cosine top-5 within that bucket.  At 100 TB the probed bucket
-    is ~1/K of the corpus — the scan cost drops by K while recall is
-    bounded by the quantizer (raise nprobe for more).
+
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN search, multi-probe: the scale path of cosine_topk.
+
+    Query = vec 0; probe its `nprobe` nearest centroids' inverted lists,
+    then exact cosine top-5 within them.  At 100 TB the probed lists are
+    ~nprobe/K of the corpus — scan cost drops by K/nprobe, and nprobe is
+    the recall knob (nprobe=K degrades gracefully to brute force).
+
+    Probe selection is DRIVER-side arithmetic over the K collected
+    centroid rows (a K-row pushed-filter scan) — NOT a Spark job: the
+    previous shape ran the full quantizer (crossJoin + window) once just
+    to fetch the query's centroid, then recomputed it for the scan.
+    The quantizer now runs exactly once, in the probed scan itself.
     """
-    asg = _ivf_assignment(spark, sf_dir)
-    qrow = asg.where(F.col("vec_id") == 0).first()
-    qvec = [float(x) for x in qrow["emb"]]
-    probe = int(qrow["centroid_id"])
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect()
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    # Left-to-right float accumulation — the same FP order as the SQL
+    # twins' ordered unnest-sum, so probe ranking matches bit-for-bit.
+    def _d2(c):
+        acc = 0.0
+        for x, y in zip(qvec, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ranked = sorted(
+        (_d2([float(v) for v in r["embedding"]]), int(r["vec_id"])) for r in cents
+    )
+    probes = [cid for _, cid in ranked[:_IVF_NPROBE]]
+    norm_q = 0.0
+    for v in qvec:
+        norm_q += v * v
+    norm_q = norm_q ** 0.5
     qlit = F.array(*[F.lit(v) for v in qvec])
-    norm_q = float(qrow["norm"])
     sim = F.round(_dot(F.col("emb"), qlit) / (F.col("norm") * F.lit(norm_q)), 6)
     return (
-        asg.where((F.col("centroid_id") == probe) & (F.col("vec_id") != 0))
+        _ivf_assignment(spark, sf_dir)
+        .where(F.col("centroid_id").isin(probes) & (F.col("vec_id") != 0))
         .select("vec_id", "centroid_id", sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(5)
@@ -1022,14 +1181,23 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_IVF_SEARCH = f"""
 WITH {_IVF_ASSIGN_SQL},
-q AS (SELECT emb AS qe, norm AS qnorm, centroid_id AS probe FROM assign WHERE vec_id = 0),
+q AS (SELECT emb AS qe, norm AS qnorm FROM assign WHERE vec_id = 0),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (ORDER BY
+             (SELECT sum((a - b) * (a - b))
+              FROM (SELECT unnest(c.cvec) a, unnest(q.qe) b)),
+             c.centroid_id) AS rk
+    FROM cents c, q)
+  WHERE rk <= {_IVF_NPROBE}),
 scored AS (
   SELECT a.vec_id, a.centroid_id,
          round(
            (SELECT sum(x * y) FROM (SELECT unnest(a.emb) x, unnest(q.qe) y))
            / (a.norm * q.qnorm), 6) AS cos_sim
   FROM assign a, q
-  WHERE a.centroid_id = q.probe AND a.vec_id <> 0)
+  WHERE a.centroid_id IN (SELECT centroid_id FROM probes) AND a.vec_id <> 0)
 SELECT vec_id, centroid_id, cos_sim
 FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
@@ -1182,23 +1350,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation quality scoring: stopword ratio + punctuation ratio +
     length gates -> keep/drop flag (the C4/Gopher-rules pattern).
 
-    Stopword ratio via explode + broadcast IN-list + groupBy (partial
-    agg); punctuation ratio via regexp arithmetic — all JVM-side.
-
-    Scale: one explode + one shuffle keyed by doc_id; the stopword list
-    is a literal IN (no join); a 100 TB corpus filters in a single pass.
+    Token and stopword counts via higher-order array functions
+    (size(filter(split(...)))) — pure map-side string arithmetic like
+    q_lang_quality, no explode, NO shuffle at all.  The previous
+    explode + groupBy shape carried the full text column on every token
+    row through a doc_id shuffle (corpus × tokens-per-doc shuffle
+    volume) just to reconstitute it with first(); at 100 TB that shuffle
+    was the whole cost of the query for zero benefit.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.split("text", " ")).alias("tok"),
-    ).where(F.col("tok") != "")
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.col("tok").isin(_STOPWORDS).cast("int")).alias("n_stop"),
-        F.first("text").alias("text"),
-    )
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    staged = d.select("doc_id", "text", toks.alias("toks"))
+    n_tokens = F.size("toks").cast("bigint")
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(_STOPWORDS)))
     punct_ratio = F.round(
         (
             F.length("text")
@@ -1207,26 +1371,27 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.length("text"),
         6,
     )
-    stop_ratio = F.round(F.col("n_stop") / F.col("n_tokens"), 6)
-    return per_doc.select(
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    return staged.select(
         "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
         punct_ratio.alias("punct_ratio"),
         (
-            (stop_ratio >= 0.01) & (punct_ratio <= 0.2) & (F.col("n_tokens") >= 10)
+            (stop_ratio >= 0.01) & (punct_ratio <= 0.2) & (n_tokens >= 10)
         ).alias("keep"),
     )
 
 
+_STOPWORD_IN = ", ".join("'" + s + "'" for s in _STOPWORDS)
+
 ORACLE_QUALITY_SCORE = f"""
-WITH toks AS (
-  SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok FROM documents),
-per_doc AS (
-  SELECT doc_id, any_value(text) AS text, count(*) AS n_tokens,
-         sum(CASE WHEN tok IN ({", ".join("'" + s + "'" for s in _STOPWORDS)})
-                  THEN 1 ELSE 0 END) AS n_stop
-  FROM toks WHERE tok <> '' GROUP BY doc_id)
+WITH per_doc AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> t <> '' AND t IN ({_STOPWORD_IN}))) AS n_stop
+  FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
@@ -1240,30 +1405,58 @@ FROM per_doc
 """
 
 
+_FP_WINDOW = 8
+_FP_BASE = 31
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: winnowing-style — the minimum digest
-    over all 8-char rolling windows (rolling-hash analog, portable via
-    md5 over substrings)."""
+    """Document fingerprinting: winnowing-style — the minimum hash over
+    all 8-char rolling windows.
+
+    The window hash is a base-31 polynomial over the character codes
+    (Σ code(c_j)·31^j — the Rabin-Karp shape, exact in BIGINT): ~8
+    integer mul-adds per window instead of a full md5 digest per
+    character offset, and the per-row transient is an int64 array
+    (8 B/char) instead of 32-char digest strings (~32 B/char).
+
+    Scale: map-side only inside one expression — no explode (one row
+    per character of the corpus) and NO shuffle at all.
+    """
     d = _t(spark, sf_dir, "documents")
     idx = F.when(
-        F.length("text") >= 8, F.sequence(F.lit(1), F.length("text") - 7)
+        F.length("text") >= _FP_WINDOW,
+        F.sequence(F.lit(1), F.length("text") - (_FP_WINDOW - 1)),
     ).otherwise(F.array(F.lit(1)))
-    # array_min over transform: the whole rolling-window min is computed
-    # map-side inside one expression — no explode (which would emit one
-    # row per character of the corpus) and NO shuffle at all.
+
+    def poly(i):
+        out = None
+        for j in range(_FP_WINDOW):
+            pos = i + F.lit(j)
+            code = F.when(
+                pos <= F.length("text"),
+                F.ascii(F.col("text").substr(pos, F.lit(1))),
+            ).otherwise(F.lit(0))
+            term = code.cast("bigint") * F.lit(_FP_BASE ** j).cast("bigint")
+            out = term if out is None else out + term
+        return out
+
     return d.select(
-        "doc_id",
-        F.array_min(
-            F.transform(idx, lambda i: F.md5(F.col("text").substr(i, F.lit(8))))
-        ).alias("fingerprint"),
+        "doc_id", F.array_min(F.transform(idx, poly)).alias("fingerprint")
     )
 
 
-ORACLE_DOC_FINGERPRINT = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id, min(md5(substr(text, i, 8))) AS fingerprint
+_FP_TERMS = " + ".join(
+    f"(CASE WHEN i + {j} <= length(text) THEN ascii(substr(text, i + {j}, 1)) ELSE 0 END)"
+    f" * CAST({_FP_BASE ** j} AS BIGINT)"
+    for j in range(_FP_WINDOW)
+)
+
+ORACLE_DOC_FINGERPRINT = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min({_FP_TERMS}) AS BIGINT) AS fingerprint
 FROM (SELECT doc_id, text,
-             unnest(CASE WHEN length(text) >= 8
-                         THEN generate_series(1, length(text) - 7)
+             unnest(CASE WHEN length(text) >= {_FP_WINDOW}
+                         THEN generate_series(1, length(text) - {_FP_WINDOW - 1})
                          ELSE [1] END) AS i
       FROM documents)
 GROUP BY doc_id
@@ -1551,6 +1744,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "cosine_topk": q_cosine_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
@@ -1588,6 +1782,7 @@ ORACLES: Dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_embed_cosine": ORACLE_DEDUP_EMBED_COSINE,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_ivf_assign": ORACLE_ANN_IVF_ASSIGN,

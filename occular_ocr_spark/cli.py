@@ -42,12 +42,21 @@ def build_parser() -> argparse.ArgumentParser:
         prog="occular_ocr_spark", description=__doc__.splitlines()[0]
     )
     p.add_argument("--input", required=True, help="transcripts table path (parquet)")
-    p.add_argument("--output", required=True, help="sink directory")
+    p.add_argument("--output", default=None,
+                   help="sink directory (required unless --stdout)")
     p.add_argument("--format", choices=["parquet", "json"], default="parquet")
     p.add_argument("--text-only", action="store_true",
                    help="emit (conv_id, turn_idx, text) only")
     p.add_argument("--force-ocr", action="store_true",
                    help="skip trusted text-layer parse (reference --force-ocr)")
+    p.add_argument("--strategy", default=None,
+                   help="named extraction strategy from the registry "
+                        "(default: standard; see registry.Registry)")
+    p.add_argument("--stdout", action="store_true",
+                   help="print per-turn results to stdout instead of writing "
+                        "a sink directory (reference cli.py:160-180 parity); "
+                        "text lines, or one JSON object per line with "
+                        "--format json")
     p.add_argument("--partitions", type=int, default=None,
                    help="repartition width (reference --workers analog)")
     p.add_argument("--salt", type=int, default=0,
@@ -64,7 +73,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.checkpointed and (args.format != "parquet" or args.text_only or args.stdout):
+        # the resumable sink always writes detailed parquet — fail loudly
+        # instead of silently ignoring the conflicting flags
+        parser.error(
+            "--checkpointed writes detailed parquet only; "
+            "drop --format/--text-only/--stdout"
+        )
+    if not args.stdout and not args.output:
+        parser.error("--output is required unless --stdout is given")
 
     from pyspark.sql import SparkSession
 
@@ -88,6 +107,7 @@ def main(argv=None) -> int:
                 num_partitions=args.partitions,
                 salt_buckets=args.salt,
                 force_ocr=args.force_ocr,
+                strategy=args.strategy,
             )
             done = len(committed)
             total = sum(e["metrics"].get("n_rows", 0) for e in committed)
@@ -104,6 +124,7 @@ def main(argv=None) -> int:
                 force_ocr=args.force_ocr,
                 num_partitions=args.partitions,
                 salt_buckets=args.salt,
+                strategy=args.strategy,
             )
             if args.text_only
             else extract_detailed(
@@ -112,8 +133,27 @@ def main(argv=None) -> int:
                 src_snapshot_id=args.snapshot_id,
                 num_partitions=args.partitions,
                 salt_buckets=args.salt,
+                strategy=args.strategy,
             )
         )
+        if args.stdout:
+            # Reference stdout parity (cli.py:160-180): Y-sorted plain
+            # text, or one JSON object per line with --format json.  A
+            # toLocalIterator keeps driver memory at one partition —
+            # stdout output is a debugging surface, not the 100 TB sink.
+            import json as _json
+
+            if args.format == "json":
+                for row in out.orderBy("conv_id", "turn_idx").toLocalIterator():
+                    print(_json.dumps(row.asDict(recursive=True), ensure_ascii=False))
+            else:
+                for row in (
+                    out.select("conv_id", "turn_idx", "text")
+                    .orderBy("conv_id", "turn_idx")
+                    .toLocalIterator()
+                ):
+                    print(row["text"])
+            return 0
         if args.format == "json":
             # one JSON object per line, non-ASCII preserved (cli.py:165)
             out.write.mode("overwrite").option("ignoreNullFields", "false").json(

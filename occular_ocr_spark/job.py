@@ -8,9 +8,10 @@ Plan shape (SURVEY.md §3 target lifecycle):
 All custom logic lives inside Arrow-batched ``mapInArrow`` (no per-row
 Python at the DataFrame level, per BASELINE.json input_hint).  One Arrow
 batch plays the role of the reference recognizer's width bucket
-(``recognizer_onnx.py:60-86``); the module-level extractor singleton plays
-the role of the reference's instance cache (``registry.py:36-39`` — one
-init per executor Python worker, reused across batches).
+(``recognizer_onnx.py:60-86``); the named-strategy registry
+(``registry.Registry``) plays the role of the reference's instance cache
+(``registry.py:36-39`` — one init per executor Python worker, reused
+across batches) and its name->class extension point.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ from pyspark.sql.types import (
 )
 
 from .extraction import core
+from .registry import Registry
 
 SPAN_TYPE = StructType(
     [
@@ -58,31 +60,6 @@ EXTRACTED_SCHEMA = StructType(
 )
 
 
-class _ExtractorSingleton:
-    """Per-python-worker extractor instance cache.
-
-    The analog of ``Registry``'s ``(name, gpu)``-keyed instance cache
-    (``registry.py:29-52``): state is initialized once per executor Python
-    worker and reused across Arrow batches.  For the deterministic
-    stand-in extractor the "state" is just config, but the pattern is the
-    one a model-backed extractor would need.
-    """
-
-    _instance: Optional["_ExtractorSingleton"] = None
-
-    def __init__(self, force_ocr: bool = False):
-        self.force_ocr = force_ocr
-        self.version = core.EXTRACTOR_VERSION
-
-    @classmethod
-    def get(cls, force_ocr: bool = False) -> "_ExtractorSingleton":
-        inst = cls._instance
-        if inst is None or inst.force_ocr != force_ocr:
-            inst = cls(force_ocr=force_ocr)
-            cls._instance = inst
-        return inst
-
-
 def repartition_salted(
     df: DataFrame, num_partitions: int, salt_buckets: int = 0
 ) -> DataFrame:
@@ -110,13 +87,21 @@ def extract_detailed(
     src_snapshot_id: Optional[int] = None,
     num_partitions: Optional[int] = None,
     salt_buckets: int = 0,
+    strategy: Optional[str] = None,
 ) -> DataFrame:
     """Detailed extraction: one output row per turn, with blocks + lineage.
 
     The analog of ``ocr_detailed()`` (``ocr_skel/__init__.py:104-135``).
     Output schema mirrors FIXTURES.md §2 plus the north rule's lineage
     columns (src_snapshot_id, partition_id, extractor_version).
+
+    ``strategy`` selects a named extractor from the registry
+    (``registry.Registry``, the reference's ``registry.py:18-52``
+    extension point); only the name + config ride the closure — the
+    instance is built once per executor Python worker and reused across
+    Arrow batches.  Default: the standard dual-path extractor.
     """
+    strat_name, strat_class = Registry.resolve_class(strategy)
     # Column pruning BEFORE the exchange: only (conv_id, turn_idx, text)
     # ride the shuffle — role/tool/ts never leave the scan.  The casts pin
     # the Arrow input types so the UDF can pass key columns through
@@ -141,11 +126,11 @@ def extract_detailed(
 
         from pyspark import TaskContext
 
-        extractor = _ExtractorSingleton.get(force_ocr=force_ocr)
+        extractor = Registry.resolve(strat_name, strat_class, force_ocr=force_ocr)
         ctx = TaskContext.get()
         pid = int(ctx.partitionId()) if ctx is not None else -1
         version = extractor.version
-        force = extractor.force_ocr
+        extract = extractor.extract
         for rb in batches:
             payloads = rb.column(rb.schema.get_field_index("text")).to_pylist()
             n = len(payloads)
@@ -157,9 +142,8 @@ def extract_detailed(
             b_y: list = []
             b_text: list = []
             b_conf: list = []
-            extract = core.extract_turn_raw
             for payload in payloads:
-                method, blocks, text = extract(payload, force_ocr=force)
+                method, blocks, text = extract(payload)
                 methods.append(method)
                 texts_out.append(text)
                 for start, end, y, btext, conf in blocks:

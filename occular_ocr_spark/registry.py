@@ -1,0 +1,144 @@
+"""Named extraction-strategy registry — the reference's extension point.
+
+The reference dispatches detector/recognizer implementations through a
+name -> class registry with a ``(name, config)``-keyed instance cache
+(``ocr_skel/registry.py:18-52``) and registers optional accelerated
+variants behind an import guard (``ocr_skel/__init__.py:39-46``, the
+ONNX fallback).  This module is the Spark twin: a strategy is a
+*whole-turn extractor* (payload -> (method, blocks, text)) because the
+unit of distribution here is the Arrow batch, not the detect/recognize
+split — but the registration, default-name resolution, unknown-name
+error, per-worker instance cache, and optional-import fallback are the
+same contract.
+
+Strategies are resolved BY NAME inside the executor UDF
+(``job.extract_detailed(strategy=...)`` ships only the name + config
+through the closure), so instances — which may hold heavyweight model
+state in production — are constructed once per executor Python worker
+and reused across Arrow batches, exactly like the reference's
+``Registry.get_detector`` cache (registry.py:36-39).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple, Type
+
+from .extraction import core
+
+
+class StandardExtractor:
+    """The default dual-path extractor: dispatch -> parse -> gate ->
+    Y-sort -> assemble (core.extract_turn_raw)."""
+
+    def __init__(self, force_ocr: bool = False):
+        self.force_ocr = bool(force_ocr)
+        self.version = core.EXTRACTOR_VERSION
+
+    def extract(self, payload: Optional[str]):
+        return core.extract_turn_raw(payload, force_ocr=self.force_ocr)
+
+
+class PlainOnlyExtractor:
+    """Dispatch-free fast path: treat every payload as plain text.
+
+    For corpora already known to be clean text, this skips the dispatch
+    regexes and parser entirely — the strategy a user swaps in when the
+    upstream source guarantees plain payloads.
+    """
+
+    def __init__(self, force_ocr: bool = False):  # uniform config surface
+        self.force_ocr = bool(force_ocr)
+        self.version = core.EXTRACTOR_VERSION + "+plain-only"
+
+    def extract(self, payload: Optional[str]):
+        blocks = core.extract_plain(payload or "")
+        # extract_plain emits in line order == Y order; no re-sort needed.
+        return core.METHOD_PLAIN, blocks, "\n".join(b[3] for b in blocks)
+
+
+class Registry:
+    """name -> strategy-class registration + (name, config) instance cache
+    (registry.py:18-52 twin)."""
+
+    _strategies: Dict[str, Type] = {}
+    _default: str = "standard"
+    _cache: Dict[Tuple[str, Tuple], Any] = {}
+
+    @classmethod
+    def register(cls, name: str, strategy_class: Type) -> Type:
+        cls._strategies[name] = strategy_class
+        return strategy_class
+
+    @classmethod
+    def get(cls, name: Optional[str] = None, **config) -> Any:
+        name = name or cls._default
+        if name not in cls._strategies:
+            raise ValueError(
+                f"Extraction strategy '{name}' not found. "
+                f"Available: {sorted(cls._strategies)}"
+            )
+        key = (name, tuple(sorted(config.items())))
+        inst = cls._cache.get(key)
+        if inst is None:
+            inst = cls._strategies[name](**config)
+            cls._cache[key] = inst
+        return inst
+
+    @classmethod
+    def resolve_class(cls, name: Optional[str] = None) -> Tuple[str, Type]:
+        """Driver-side name validation: resolve the registered class (to
+        ship with the UDF closure) without constructing an instance, so
+        an unknown strategy fails at plan time, not inside an executor."""
+        name = name or cls._default
+        if name not in cls._strategies:
+            raise ValueError(
+                f"Extraction strategy '{name}' not found. "
+                f"Available: {sorted(cls._strategies)}"
+            )
+        return name, cls._strategies[name]
+
+    @classmethod
+    def resolve(cls, name: str, strategy_class: Type, **config) -> Any:
+        """Worker-side lookup: (re-)register ``strategy_class`` under
+        ``name`` if this Python worker hasn't seen it (strategies
+        registered dynamically on the driver travel with the closure via
+        cloudpickle), then return the cached instance."""
+        if name not in cls._strategies:
+            cls._strategies[name] = strategy_class
+        return cls.get(name, **config)
+
+    @classmethod
+    def list_strategies(cls) -> List[str]:
+        return sorted(cls._strategies)
+
+    @classmethod
+    def clear_cache(cls) -> None:
+        cls._cache.clear()
+
+
+Registry.register("standard", StandardExtractor)
+Registry.register("plain_only", PlainOnlyExtractor)
+
+# Optional accelerated variant behind an import guard — the ONNX
+# fallback pattern (__init__.py:39-46): register iff the dependency
+# exists, callers keep working off the default either way.
+try:  # pragma: no cover - lxml is absent in this container
+    import lxml.html  # noqa: F401
+
+    class LxmlHtmlExtractor(StandardExtractor):
+        """Would swap the streaming regex tokenizer for lxml's C parser
+        on the HTML path; registered only when lxml is importable."""
+
+    Registry.register("lxml_html", LxmlHtmlExtractor)
+except ImportError:
+    pass
+
+
+def register(name: str) -> Callable[[Type], Type]:
+    """Decorator form: ``@register("my_strategy")`` on a class with an
+    ``extract(payload) -> (method, blocks, text)`` method."""
+
+    def deco(strategy_class: Type) -> Type:
+        return Registry.register(name, strategy_class)
+
+    return deco

@@ -103,6 +103,7 @@ class CheckpointedParquetSink:
         salt_buckets: int = 0,
         max_ranges: Optional[int] = None,
         force_ocr: bool = False,
+        strategy: Optional[str] = None,
     ) -> List[dict]:
         """Extract + write all not-yet-committed ranges; returns the manifest
         entries committed by THIS call.  ``max_ranges`` bounds how many
@@ -124,6 +125,7 @@ class CheckpointedParquetSink:
                 src_snapshot_id=src_snapshot_id,
                 num_partitions=num_partitions,
                 salt_buckets=salt_buckets,
+                strategy=strategy,
             )
             obs = Observation(f"range-{range_id}")
             ext = ext.observe(

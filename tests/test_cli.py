@@ -46,6 +46,30 @@ def test_cli_json_sink_end_to_end(tmp_path):
             assert 0.0 <= b["confidence"] <= 1.0  # test_smoke.py:67-78 analog
 
 
+def test_cli_stdout_text(tmp_path):
+    inp = str(tmp_path / "turns.parquet")
+    write_transcripts_parquet(inp, n_convs=4, seed=63)
+    r = _run_cli(["--input", inp, "--stdout", "--master", "local[2]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip(), "no text on stdout"
+
+
+def test_cli_checkpointed_flag_conflicts():
+    # --checkpointed always writes detailed parquet; combining it with
+    # --format/--text-only/--stdout must fail loudly, not silently
+    import pytest
+
+    from occular_ocr_spark.cli import main
+
+    for extra in (["--format", "json"], ["--text-only"], ["--stdout"]):
+        with pytest.raises(SystemExit) as exc:
+            main(["--input", "x", "--output", "y", "--checkpointed"] + extra)
+        assert exc.value.code == 2
+    # --output required unless --stdout
+    with pytest.raises(SystemExit):
+        main(["--input", "x"])
+
+
 def test_cli_checkpointed_resume(tmp_path):
     inp = str(tmp_path / "turns.parquet")
     out = str(tmp_path / "ckpt_sink")

@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embed_cosine",
@@ -71,9 +72,21 @@ HEADLINE = [
 ]
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Untimed pre-pass: JVM JIT + codegen + parquet footer caches + the
+    Python worker pool all warm up here, so query 1's timing is the
+    query, not the runtime (first-pass JIT is ~2x; a limit(n) warm-up
+    would touch only one worker, so run full passes)."""
+    from occular_ocr_spark.queries import QUERIES
+
+    for name in ("scan_prune", "groupby_agg", "extract_plain_docs"):
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
 def run_bench(spark, sf_dir: str) -> dict:
     from occular_ocr_spark.queries import QUERIES
 
+    warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     extraction_rows = 0
     extraction_sec = 0.0
@@ -91,7 +104,8 @@ def run_bench(spark, sf_dir: str) -> dict:
         timings[name] = round(dt, 3)
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": f"headline catalog wall time ({len(HEADLINE)} queries, noop sink)",
+        "metric": f"headline catalog wall time ({len(HEADLINE)} queries, "
+                  "noop sink, warmed runtime)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -983,42 +983,73 @@ def _dot_unrolled(a, b, dim: int):
     return out
 
 
+def _d2_unrolled(a, b, dim: int):
+    """Unrolled squared L2 distance — same FP order as the interpreted
+    aggregate(zip_with((x-y)²)) form (0.0 + t == t for the non-negative
+    first square), compiled by whole-stage codegen."""
+    out = (a[0] - b[0]) * (a[0] - b[0])
+    for i in range(1, dim):
+        out = out + (a[i] - b[i]) * (a[i] - b[i])
+    return out
+
+
+def _l2norm_unrolled(a, dim: int):
+    out = a[0] * a[0]
+    for i in range(1, dim):
+        out = out + a[i] * a[i]
+    return F.sqrt(out)
+
+
 _COS_DUP_THRESH = 0.4
 
 
-def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assignment(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
     """(vec_id, emb, norm, centroid_id): nearest of the K fixed centroids.
 
     The L2 norm is computed ONCE per vector here, before any pair join —
     at n²/K candidate pairs, recomputing norms per pair would triple the
     per-pair expression cost (the dominant term of blocked dedup).
+
+    The scan is repartitioned to the session's parallelism BEFORE the
+    K-way distance expansion: the bench corpus is one small parquet file
+    (one input split), and without the spread the whole quantizer —
+    n×K unrolled dim-length distance expressions — runs on a single
+    task.  At 100 TB the scan has thousands of splits and the
+    repartition collapses to a cheap rebalance; the distances must
+    compute where the data is wide, not where the file boundaries fell.
+
+    The float->double cast is projected BELOW that exchange on purpose:
+    the exchange is a CollapseProject barrier, so the unrolled distance
+    terms index a materialized double array — inlined, the optimizer
+    substitutes the whole-array cast into every element reference
+    (2·dim casts of a dim-length array per pair row; measured 6x on the
+    quantizer).
     """
-    e = _t(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("cvec"),
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("cvec"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    cents = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cvec")
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
     return (
         e.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
-            F.col("embedding").cast("array<double>").alias("emb"),
+            "emb",
             "centroid_id",
-            d2.alias("d2"),
+            _d2_unrolled(F.col("emb"), F.col("cvec"), dim).alias("d2"),
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("vec_id", "emb", _l2norm(F.col("emb")).alias("norm"), "centroid_id")
+        .select(
+            "vec_id",
+            "emb",
+            _l2norm_unrolled(F.col("emb"), dim).alias("norm"),
+            "centroid_id",
+        )
     )
 
 
@@ -1079,15 +1110,23 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = _COS_SUBBUCKETS
     dim = _embedding_dim(spark, sf_dir)
+    parallelism = spark.sparkContext.defaultParallelism
     # Persist the assignment: both join sides read it — without the
     # persist the whole quantizer (crossJoin + window) runs twice.  At
     # cluster scale this is the materialized IVF index (a parquet table
     # in production, where its lifetime outlives this one query).
-    asg = _ivf_assignment(spark, sf_dir).persist()
+    asg = _ivf_assignment(spark, sf_dir, dim).persist()
     chunked = asg.withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(s)))
+    # Explicit repartition on the join keys (types aligned: j is bigint
+    # like chunk) — the join inherits this partitioning with no extra
+    # exchange, and a user repartition is exempt from AQE partition
+    # coalescing, which would otherwise see the small shuffle and fold
+    # the pair scan — where all the n²/K cosine work happens — onto one
+    # or two tasks (measured 2.3x on the bench corpus).
     arep = chunked.withColumn(
-        "j", F.explode(F.array(*[F.lit(i) for i in range(s)]))
-    )
+        "j", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(s)]))
+    ).repartition(parallelism, "centroid_id", "j")
+    bside = chunked.repartition(parallelism, "centroid_id", "chunk")
     cos = F.round(
         _dot_unrolled(F.col("a.emb"), F.col("b.emb"), dim)
         / (F.col("a.norm") * F.col("b.norm")),
@@ -1100,7 +1139,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             # tiny and bounded; also pins the planner away from an AQE
             # auto-broadcast at bench scale so the recorded plan is the
             # 100 TB plan.
-            chunked.alias("b").hint("shuffle_hash"),
+            bside.alias("b").hint("shuffle_hash"),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.j") == F.col("b.chunk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -1169,9 +1208,13 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_q += v * v
     norm_q = norm_q ** 0.5
     qlit = F.array(*[F.lit(v) for v in qvec])
-    sim = F.round(_dot(F.col("emb"), qlit) / (F.col("norm") * F.lit(norm_q)), 6)
+    sim = F.round(
+        _dot_unrolled(F.col("emb"), qlit, len(qvec))
+        / (F.col("norm") * F.lit(norm_q)),
+        6,
+    )
     return (
-        _ivf_assignment(spark, sf_dir)
+        _ivf_assignment(spark, sf_dir, len(qvec))
         .where(F.col("centroid_id").isin(probes) & (F.col("vec_id") != 0))
         .select("vec_id", "centroid_id", sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -1419,28 +1462,36 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     character offset, and the per-row transient is an int64 array
     (8 B/char) instead of 32-char digest strings (~32 B/char).
 
+    The char codes are materialized ONCE per row (one ascii() per
+    character) and the window terms index into that array — higher-order
+    lambdas are interpreted per element, so the naive
+    substr+ascii-per-term form costs ~window× more interpreted
+    expression nodes for the same arithmetic.
+
     Scale: map-side only inside one expression — no explode (one row
     per character of the corpus) and NO shuffle at all.
     """
     d = _t(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    staged = d.select("doc_id", F.length("text").alias("n"), codes.alias("codes"))
     idx = F.when(
-        F.length("text") >= _FP_WINDOW,
-        F.sequence(F.lit(1), F.length("text") - (_FP_WINDOW - 1)),
-    ).otherwise(F.array(F.lit(1)))
+        F.col("n") >= _FP_WINDOW,
+        F.sequence(F.lit(0), F.col("n") - _FP_WINDOW),
+    ).otherwise(F.array(F.lit(0)))
 
     def poly(i):
+        # window at 0-based offset i; F.get is 0-based and NULL-safe past
+        # the end (the len < window case), matching the oracle's CASE 0s
         out = None
         for j in range(_FP_WINDOW):
-            pos = i + F.lit(j)
-            code = F.when(
-                pos <= F.length("text"),
-                F.ascii(F.col("text").substr(pos, F.lit(1))),
-            ).otherwise(F.lit(0))
-            term = code.cast("bigint") * F.lit(_FP_BASE ** j).cast("bigint")
+            code = F.coalesce(F.get("codes", i + F.lit(j)), F.lit(0).cast("bigint"))
+            term = code * F.lit(_FP_BASE ** j).cast("bigint")
             out = term if out is None else out + term
         return out
 
-    return d.select(
+    return staged.select(
         "doc_id", F.array_min(F.transform(idx, poly)).alias("fingerprint")
     )
 

@@ -49,6 +49,7 @@ HEADLINE = [
     "explode_tokens",
     "text_assembly",
     "sessionize",
+    "asof_join",
     "lang_quality",
     "quality_score",
     "token_count",
@@ -57,12 +58,14 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
+    "dedup_minhash_verify",
     "dedup_ngram_jaccard",
     "dedup_embed_cosine",
     "cosine_topk",
     "ann_ivf_assign",
     "ann_ivf_search",
     "ann_lsh_buckets",
+    "ann_lsh_search",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_features",

@@ -456,6 +456,75 @@ GROUP BY user_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the most recent click of
+    the same user at or before the purchase timestamp (attribution).
+
+    Spark has no native ASOF JOIN; the naive translation is an
+    inequality join (per-key O(clicks × purchases) pair explosion plus
+    a max() to pick the winner).  The scalable pattern used here is
+    union-both-sides + a single windowed forward-fill: tag click and
+    purchase rows, sort per user by ts, and `last(click_id, ignorenulls)
+    over (rows unbounded preceding → current)` carries the latest click
+    forward onto each purchase row.
+
+    Scale: ONE shuffle on user_id and a linear within-partition scan —
+    no pair materialization at all; this is the canonical distributed
+    as-of design (time-series joins at corpus scale).  DuckDB's native
+    ASOF JOIN is the oracle.
+    """
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")  # (user_id, ts) is unique across the union
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = clicks.unionByName(purch).select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("asof_click_id"),
+        F.last(
+            F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w).alias("asof_click_ts"),
+    )
+    return filled.where(F.col("purchase_id").isNotNull()).select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        # purchases before any click: sentinel keys the comparator can sort
+        F.coalesce("asof_click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            "asof_click_ts", F.lit("1900-01-01").cast("timestamp")
+        ).alias("click_ts"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH clicks AS (SELECT user_id, ts, event_id AS click_id
+                FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts,
+       coalesce(c.click_id, -1) AS click_id,
+       coalesce(c.ts, TIMESTAMP '1900-01-01') AS click_ts
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication family
 # ---------------------------------------------------------------------------
@@ -482,25 +551,13 @@ GROUP BY md5(text)
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: 3-word-shingle Jaccard over candidate pairs.
-
-    Candidates = pairs sharing ≥1 shingle (the blocking join); Jaccard
-    computed from per-doc distinct-shingle counts + shared counts.
-    Pairs with J ≥ 0.5 are near-dups.
-
-    Scale: never materializes the O(n²) pair space — only pairs that
-    collide on a shingle; hot shingles (stopword runs) need a
-    document-frequency cap, applied HERE as the `size(docs) <= 100`
-    filter on the per-shingle doc-list.  One groupBy(sh) both caps the
-    frequency and emits the doc-list whose in-array pair expansion is
-    bounded by cap² — versus the previous count-over-window pre-pass,
-    which shuffled every shingle a second time before the join's own
-    shuffle.
-    """
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct 3-word shingles per document — the shared
+    blocking unit of the n-gram/minhash dedup family.  The explode is
+    map-side; `distinct` is the one shuffle."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("l"))
-    sh = (
+    return (
         toks.select(
             "doc_id",
             F.explode(
@@ -521,6 +578,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-word-shingle Jaccard over candidate pairs.
+
+    Candidates = pairs sharing ≥1 shingle (the blocking join); Jaccard
+    computed from per-doc distinct-shingle counts + shared counts.
+    Pairs with J ≥ 0.5 are near-dups.
+
+    Scale: never materializes the O(n²) pair space — only pairs that
+    collide on a shingle; hot shingles (stopword runs) need a
+    document-frequency cap, applied HERE as the `size(docs) <= 100`
+    filter on the per-shingle doc-list.  One groupBy(sh) both caps the
+    frequency and emits the doc-list whose in-array pair expansion is
+    bounded by cap² — versus the previous count-over-window pre-pass,
+    which shuffled every shingle a second time before the join's own
+    shuffle.
+    """
+    sh = _shingles(spark, sf_dir)
     # ONE groupBy(sh) caps hot shingles AND materializes the doc-list;
     # pairs expand inside the array (bounded by cap²/2 per shingle), so
     # the self-join on `sh` — two more full-shingle shuffles — is gone.
@@ -608,29 +684,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is a groupBy on (band, band_key), never a pairwise join;
     output is linear in the number of true near-dup pairs.
     """
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("l"))
-    sh = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("l") >= 3, F.sequence(F.lit(1), F.size("l") - 2)
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("i"),
-            "l",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("l", F.col("i")),
-                F.element_at("l", F.col("i") + 1),
-                F.element_at("l", F.col("i") + 2),
-            ).alias("sh"),
-        )
-        .distinct()
-    )
+    return _minhash_candidates(_shingles(spark, sf_dir))
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from minhash-LSH banding over a
+    (doc_id, sh) shingle table."""
     # All K minhashes in ONE partial-aggregated pass: K min() aggregates
     # over the shingle rows — versus a broadcast crossJoin with the seed
     # table, which would push K copies of every shingle through the
@@ -694,6 +753,89 @@ bands AS (
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+_MINHASH_VERIFY_THRESH = 0.5
+
+
+def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage production dedup pipeline: MinHash-LSH
+    candidate generation -> EXACT shingle-Jaccard verification -> keep
+    pairs with J ≥ threshold.  LSH recalls the candidates cheaply; the
+    exact pass removes band-collision false positives — the standard
+    web-corpus design (candidates ≪ corpus, verification linear in
+    candidates).
+
+    Scale: the candidate set is broadcast into the shingle scans (true
+    near-dup pairs are a vanishing fraction of a 100 TB corpus); the
+    shared-shingle count is then a groupBy over only the candidate
+    docs' shingles.  If candidates ever outgrew broadcast, the same
+    joins run shuffled on doc_id unchanged.
+    """
+    sh = _shingles(spark, sf_dir)
+    cands = _minhash_candidates(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.join(F.broadcast(cands), sh.doc_id == cands.doc_a).select(
+        "doc_a", "doc_b", "sh"
+    )
+    b_sh = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("sh").alias("sh_b"))
+    shared = (
+        a_sh.join(b_sh, (a_sh.sh == b_sh.sh_b) & (a_sh.doc_b == b_sh.doc_b_r))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= _MINHASH_VERIFY_THRESH)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_MINHASH_VERIFY = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_extract(l, i) || ' ' || list_extract(l, i+1) || ' ' || list_extract(l, i+2) AS sh
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+        FROM toks WHERE len(l) >= 3)),
+seeds AS (SELECT unnest(generate_series(0, {_MINHASH_SEEDS - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // {_MINHASH_BAND_ROWS} AS INT) AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_key
+  FROM sig
+  GROUP BY doc_id, CAST(seed // {_MINHASH_BAND_ROWS} AS INT)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT CAST(s.doc_a AS BIGINT) AS doc_a, CAST(s.doc_b AS BIGINT) AS doc_b,
+       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6)
+      >= {_MINHASH_VERIFY_THRESH}
 """
 
 
@@ -1262,15 +1404,19 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the per-vector bit aggregation — candidate generation becomes an
     equi-join on `bucket` instead of an all-pairs scan.
     """
+    return _lsh_buckets(spark, sf_dir, _LSH_PLANES)
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    lo = e.where(F.col("vec_id") < _LSH_PLANES).select(
+    lo = e.where(F.col("vec_id") < planes).select(
         F.col("vec_id").alias("plane_id"),
         F.col("embedding").cast("array<double>").alias("pa"),
     )
     hi = e.where(
-        (F.col("vec_id") >= _LSH_PLANES) & (F.col("vec_id") < 2 * _LSH_PLANES)
+        (F.col("vec_id") >= planes) & (F.col("vec_id") < 2 * planes)
     ).select(
-        (F.col("vec_id") - _LSH_PLANES).alias("plane_id"),
+        (F.col("vec_id") - planes).alias("plane_id"),
         F.col("embedding").cast("array<double>").alias("pb"),
     )
     planes = lo.join(hi, "plane_id").select(
@@ -1305,6 +1451,92 @@ bits AS (
   FROM embeddings e CROSS JOIN planes p)
 SELECT vec_id, CAST(sum(bit << plane_id) AS INT) AS bucket
 FROM bits GROUP BY vec_id
+"""
+
+
+_LSH_SEARCH_PLANES = 5
+
+
+def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN search: exact cosine top-5 within the query
+    vector's bucket (the search twin of q_ann_lsh_buckets, like
+    q_ann_ivf_search is to q_ann_ivf_assign).
+
+    Scale: bucket assignment is map-side (broadcast planes); the
+    query's bucket id is a broadcast single row, so the candidate scan
+    is a pushed filter over ~n/2^planes vectors, then exact cosine +
+    TakeOrdered.  More planes -> smaller buckets -> cheaper scans and
+    lower recall: the knob mirrors nprobe (5 planes here keep the
+    bench-scale bucket populated; the indexing entry uses 8).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    buckets = _lsh_buckets(spark, sf_dir, _LSH_SEARCH_PLANES)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    norm_q = float(sum(v * v for v in qvec) ** 0.5)
+    qb = buckets.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    emb = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(emb, qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    sim = F.round(dot / (norm_e * F.lit(norm_q)), 6)
+    return (
+        buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != 0)
+        .join(e, "vec_id")
+        .select("vec_id", "bucket", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+ORACLE_ANN_LSH_SEARCH = f"""
+WITH lo AS (SELECT vec_id AS plane_id, CAST(embedding AS DOUBLE[]) AS pa
+            FROM embeddings WHERE vec_id < {_LSH_SEARCH_PLANES}),
+hi AS (SELECT vec_id - {_LSH_SEARCH_PLANES} AS plane_id, CAST(embedding AS DOUBLE[]) AS pb
+       FROM embeddings
+       WHERE vec_id >= {_LSH_SEARCH_PLANES} AND vec_id < {2 * _LSH_SEARCH_PLANES}),
+planes AS (
+  SELECT lo.plane_id,
+         (SELECT list(a - b ORDER BY i)
+          FROM (SELECT unnest(pa) a, unnest(pb) b,
+                       generate_subscripts(pa, 1) i)) AS h
+  FROM lo JOIN hi ON lo.plane_id = hi.plane_id),
+bits AS (
+  SELECT e.vec_id, p.plane_id,
+         CASE WHEN (SELECT sum(x * y)
+                    FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) x,
+                                 unnest(p.h) y)) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p),
+buckets AS (
+  SELECT vec_id, CAST(sum(bit << plane_id) AS INT) AS bucket
+  FROM bits GROUP BY vec_id),
+q AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT b.vec_id, b.bucket,
+         round(
+           (SELECT sum(x * y)
+            FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) x, unnest(qv.qe) y))
+           / (sqrt((SELECT sum(x * x)
+                    FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) x)))
+              * sqrt((SELECT sum(y * y) FROM (SELECT unnest(qv.qe) y)))),
+           6) AS cos_sim
+  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id, q, qv
+  WHERE b.bucket = q.qbucket AND b.vec_id <> 0)
+SELECT vec_id, bucket, cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
 
@@ -1791,9 +2023,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "rollup_daily": q_rollup_daily,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verify": q_dedup_minhash_verify,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embed_cosine": q_dedup_embed_cosine,
@@ -1801,6 +2035,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_search": q_ann_ivf_search,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_search": q_ann_lsh_search,
     "lang_quality": q_lang_quality,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1829,9 +2064,11 @@ ORACLES: Dict[str, str] = {
     "anti_join": ORACLE_ANTI_JOIN,
     "rollup_daily": ORACLE_ROLLUP_DAILY,
     "sessionize": ORACLE_SESSIONIZE,
+    "asof_join": ORACLE_ASOF_JOIN,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_minhash_verify": ORACLE_DEDUP_MINHASH_VERIFY,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_embed_cosine": ORACLE_DEDUP_EMBED_COSINE,
@@ -1839,6 +2076,7 @@ ORACLES: Dict[str, str] = {
     "ann_ivf_assign": ORACLE_ANN_IVF_ASSIGN,
     "ann_ivf_search": ORACLE_ANN_IVF_SEARCH,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
+    "ann_lsh_search": ORACLE_ANN_LSH_SEARCH,
     "lang_quality": ORACLE_LANG_QUALITY,
     "quality_score": ORACLE_QUALITY_SCORE,
     "token_count": ORACLE_TOKEN_COUNT,

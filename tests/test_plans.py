@@ -87,3 +87,32 @@ def test_exact_dedup_single_shuffle(spark):
     # digest computed map-side, one exchange on the digest, partial agg
     assert n_nodes(p, "Exchange") == 1
     assert n_nodes(p, "HashAggregate") == 2
+
+
+@pytest.mark.parametrize("qname", ["quality_score", "doc_fingerprint"])
+def test_map_side_text_metrics_zero_exchanges(spark, qname):
+    # lang_quality's shape: pure map-side arithmetic, NO shuffle at all
+    p = plan_of(Q.QUERIES[qname](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 0
+
+
+def test_embed_cosine_pair_join_is_shuffled_not_broadcast(spark):
+    # the 100 TB contract: the pair join must NOT broadcast the corpus
+    # side — only the O(K*dim) centroid table inside the quantizer may
+    # broadcast; the pair scan is a shuffled hash join on
+    # (centroid_id, sub-bucket)
+    p = plan_of(Q.q_dedup_embed_cosine(spark, SF_DIR))
+    assert "ShuffledHashJoin" in p
+    join_section = p.split("ShuffledHashJoin", 1)[0]
+    assert "BroadcastHashJoin" not in join_section
+    # the only broadcasts anywhere are the centroid cross-join inputs
+    assert n_nodes(p, "BroadcastHashJoin") == 0
+
+
+def test_asof_join_single_shuffle_no_pair_explosion(spark):
+    p = plan_of(Q.q_asof_join(spark, SF_DIR))
+    # union + window forward-fill: no join node at all, one hash
+    # exchange on user_id for the window
+    assert "Join" not in p
+    assert n_nodes(p, "Exchange") == 1
+    assert "Window" in p

@@ -41,7 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="occular_ocr_spark", description=__doc__.splitlines()[0]
     )
-    p.add_argument("--input", required=True, help="transcripts table path (parquet)")
+    p.add_argument("--input", required=True,
+                   help="transcripts source path (parquet dir, JSON lines, "
+                        "CSV, or one-conversation-per-file text)")
+    p.add_argument("--input-format", default=None,
+                   choices=["parquet", "json", "csv", "text"],
+                   help="source format (default: inferred from the path "
+                        "suffix, directories -> parquet)")
     p.add_argument("--output", default=None,
                    help="sink directory (required unless --stdout)")
     p.add_argument("--format", choices=["parquet", "json"], default="parquet")
@@ -87,6 +93,8 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
+    from .sources import read_transcripts
+
     builder = SparkSession.builder.appName("occular-ocr-spark-extract")
     if args.master:
         builder = builder.master(args.master)
@@ -102,7 +110,7 @@ def main(argv=None) -> int:
                 num_ranges=args.num_ranges,
             )
             committed = sink.write(
-                spark.read.parquet(args.input),
+                read_transcripts(spark, args.input, args.input_format),
                 src_snapshot_id=args.snapshot_id,
                 num_partitions=args.partitions,
                 salt_buckets=args.salt,
@@ -117,7 +125,7 @@ def main(argv=None) -> int:
 
         from .job import extract_detailed, extract_text
 
-        df = spark.read.parquet(args.input)
+        df = read_transcripts(spark, args.input, args.input_format)
         out = (
             extract_text(
                 df,

@@ -70,6 +70,7 @@ def extract_stream(
     available_now: bool = True,
     src_snapshot_id: Optional[int] = None,
     max_files_per_trigger: Optional[int] = None,
+    strategy: Optional[str] = None,
 ) -> StreamingQuery:
     """Continuous extraction: readStream -> mapInArrow extract -> parquet.
 
@@ -80,7 +81,9 @@ def extract_stream(
     — the bounded-backfill trigger; ``False`` keeps the query live.
     """
     stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
-    extracted = extract_detailed(stream, src_snapshot_id=src_snapshot_id)
+    extracted = extract_detailed(
+        stream, src_snapshot_id=src_snapshot_id, strategy=strategy
+    )
     writer = (
         extracted.writeStream.format("parquet")
         .option("path", output_dir)

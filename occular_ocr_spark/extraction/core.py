@@ -200,6 +200,16 @@ def extract_html(payload: str) -> List[Dict]:
         if not cur_parts:  # nothing accumulated: only the tag counter can
             cur_tag_count = 0  # be non-zero — reset it and skip the join
             return
+        if not cur_text_chars:
+            # whitespace-only accumulation: raw would collapse to "" —
+            # skip the join/split entirely (value-identical; this is the
+            # common case between consecutive block tags)
+            cur_parts = []
+            cur_start = -1
+            cur_end = -1
+            cur_link_chars = 0
+            cur_tag_count = 0
+            return
         raw = " ".join("".join(cur_parts).split())
         if raw:  # blank-line skip (pipeline.py:204)
             tokens = raw.split(" ")
@@ -249,7 +259,14 @@ def extract_html(payload: str) -> List[Dict]:
             elif not self_close:
                 skip_depth += 1
         elif name in _BLOCK_TAGS:
-            flush()
+            # inlined empty-flush guard: block tags outnumber text blocks
+            # ~20:1, so skipping the call for empty accumulators is a
+            # measurable share of the HTML path (value-identical: flush
+            # on empty state only resets the tag counter)
+            if cur_parts:
+                flush()
+            else:
+                cur_tag_count = 0
         else:
             if name == "a":
                 if closing:

@@ -50,6 +50,8 @@ HEADLINE = [
     "text_assembly",
     "sessionize",
     "asof_join",
+    "pivot_events",
+    "range_join_bucketed",
     "lang_quality",
     "quality_score",
     "token_count",

@@ -456,6 +456,103 @@ GROUP BY user_id
 """
 
 
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type (the
+    wide-format reporting rollup).
+
+    Scale: the explicit value list turns pivot into a single-pass
+    conditional aggregation (partial agg applies as usual, one shuffle
+    on the day key) — without the list Spark needs an extra distinct
+    scan to discover the pivot values.
+    """
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    p = e.groupBy(day).pivot("event_type", _EVENT_TYPES).count()
+    return p.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+ORACLE_PIVOT_EVENTS = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {", ".join(
+           "CAST(coalesce(sum(CASE WHEN event_type = '" + t + "' THEN 1 END), 0)"
+           " AS BIGINT) AS " + t
+           for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+_PRICE_TIERS = [
+    ("t0", 0.0, 100000.0),
+    ("t1", 100000.0, 200000.0),
+    ("t2", 200000.0, 350000.0),
+    ("t3", 350000.0, 600000.0),
+]
+_TIER_BUCKET_W = 50000.0
+
+
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, bucketed: orders classified into price
+    tiers defined as [lo, hi) intervals.
+
+    The naive plan for `price >= lo AND price < hi` is a nested-loop
+    over the fact table (O(facts × ranges) comparisons).  The scalable
+    pattern: explode each range — map-side, on the tiny dim — into the
+    fixed-width buckets it overlaps, compute each fact row's bucket
+    map-side too, then EQUI-join on the bucket id with the interval
+    test left as a residual filter.  Each fact row probes exactly one
+    bucket key regardless of how many ranges exist.
+
+    Scale: the exploded dim stays O(ranges × ranges_width/bucket_width)
+    and broadcasts; the fact table is never shuffled and never
+    nested-loop scanned — the plan survives a range dim with 10^6
+    intervals, where the NLJ dies.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = _TIER_BUCKET_W
+    tiers = spark.createDataFrame(_PRICE_TIERS, "tier string, lo double, hi double")
+    tiers_b = tiers.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w).cast("int"),
+                (F.ceil(F.col("hi") / w) - 1).cast("int"),
+            )
+        ),
+    )
+    fact = o.withColumn("bucket", F.floor(F.col("o_totalprice") / w).cast("int"))
+    return (
+        fact.join(F.broadcast(tiers_b), "bucket")
+        .where(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN_BUCKETED = f"""
+WITH tiers(tier, lo, hi) AS (VALUES
+  {", ".join("('" + t + "', " + str(lo) + ", " + str(hi) + ")"
+             for t, lo, hi in _PRICE_TIERS)})
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS revenue
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every purchase event, the most recent click of
     the same user at or before the purchase timestamp (attribution).
@@ -2024,6 +2121,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_daily": q_rollup_daily,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "pivot_events": q_pivot_events,
+    "range_join_bucketed": q_range_join_bucketed,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2065,6 +2164,8 @@ ORACLES: Dict[str, str] = {
     "rollup_daily": ORACLE_ROLLUP_DAILY,
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF_JOIN,
+    "pivot_events": ORACLE_PIVOT_EVENTS,
+    "range_join_bucketed": ORACLE_RANGE_JOIN_BUCKETED,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,

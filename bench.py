@@ -55,6 +55,8 @@ HEADLINE = [
     "lang_quality",
     "quality_score",
     "token_count",
+    "sample_stratified",
+    "tfidf_topk",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_simhash",

@@ -1781,6 +1781,108 @@ _FP_WINDOW = 8
 _FP_BASE = 31
 
 
+_SAMPLE_FULL_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_SAMPLE_DEFAULT_PERMILLE = 250
+
+
+def _sample_sql(dialect: str = "duck") -> str:
+    """Deterministic stratified sampling, one SQL for both dialects.
+
+    Keep a document iff hash16(doc_id) mod 1000 < rate(source), where
+    hash16 is the first 4 hex chars of md5 decoded with pure string
+    arithmetic (instr over the hex alphabet) — identical integers on
+    Spark SQL and DuckDB, unlike rand()/sampleBy which can never be
+    oracle-checked.  Hash-based (not modulo-on-id) so the sample is
+    stable under id renumbering and uncorrelated with insertion order —
+    the training-data downsampling pattern (per-source quality tiers
+    keep different fractions).
+
+    Scale: pure map-side arithmetic, zero shuffles; the decision
+    depends only on the row itself.
+    """
+    strtype = "STRING" if dialect == "spark" else "VARCHAR"
+    hexv = (
+        lambda j: f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS {strtype})), {j}, 1)) - 1)"
+    )
+    h16 = f"((({hexv(1)} * 16 + {hexv(2)}) * 16 + {hexv(3)}) * 16 + {hexv(4)})"
+    full = ", ".join(f"'{s}'" for s in _SAMPLE_FULL_SOURCES)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents
+WHERE {h16} % 1000 <
+      CASE WHEN source IN ({full}) THEN 1000 ELSE {_SAMPLE_DEFAULT_PERMILLE} END
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_sample_sql("spark"))
+
+
+q_sample_stratified.__doc__ = _sample_sql.__doc__
+
+ORACLE_SAMPLE_STRATIFIED = _sample_sql()
+
+
+_TFIDF_TOPK = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k salient terms by TF·(N/df) — the rational-form
+    TF-IDF (no log, so Spark and DuckDB agree bit-for-bit on the
+    weights; the ranking is the same monotone transform).
+
+    Scale: one explode + groupBy(doc_id, tok) with partial aggregation
+    for TF; document frequency is a second groupBy on tok; the df join
+    shuffles on tok (co-partitioned with the tf table's natural key
+    suffix); the final top-k is a per-doc window, never a global sort.
+    N rides as a literal (table-level count from the metastore in
+    production).
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("tok")
+    )
+    return (
+        tf.join(df_, "tok")
+        .withColumn("weight", F.round(F.col("tf") * n_docs / F.col("df"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TFIDF_TOPK)
+        .select("doc_id", "tok", "weight", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# N (document count) must match the literal the Spark side uses; the
+# oracle derives it from the same table, so both are count(documents).
+ORACLE_TFIDF_TOPK = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+weighted AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * n.n_docs / dfreq.df, 6) AS weight
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n),
+ranked AS (
+  SELECT doc_id, tok, weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, tok) AS rk
+  FROM weighted)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tok, weight, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_TFIDF_TOPK}
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing-style — the minimum hash over
     all 8-char rolling windows.
@@ -2138,6 +2240,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_quality": q_lang_quality,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "sample_stratified": q_sample_stratified,
+    "tfidf_topk": q_tfidf_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "extract_plain_docs": q_extract_plain_docs,
     "extract_transcripts": q_extract_transcripts,
@@ -2181,6 +2285,8 @@ ORACLES: Dict[str, str] = {
     "lang_quality": ORACLE_LANG_QUALITY,
     "quality_score": ORACLE_QUALITY_SCORE,
     "token_count": ORACLE_TOKEN_COUNT,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "extract_plain_docs": ORACLE_EXTRACT_PLAIN_DOCS,
     "extract_transcripts": ORACLE_EXTRACT_TRANSCRIPTS,

@@ -189,6 +189,51 @@ def extract_text(df: DataFrame, **kwargs) -> DataFrame:
     return extract_detailed(df, **kwargs).select("conv_id", "turn_idx", "text")
 
 
+class ExtractionPipeline:
+    """Configured-pipeline facade — the ``OCRPipeline`` class analog
+    (``ocr_skel/__init__.py:142-234``: construct once with config, call
+    per input).  Holds strategy/partitioning/lineage settings so batch
+    jobs, notebooks, and the CLI share one configured object instead of
+    re-threading kwargs through every call.
+    """
+
+    def __init__(
+        self,
+        strategy: Optional[str] = None,
+        force_ocr: bool = False,
+        num_partitions: Optional[int] = None,
+        salt_buckets: int = 0,
+        src_snapshot_id: Optional[int] = None,
+    ):
+        # fail fast on an unknown strategy, like Registry.get_detector
+        # does at pipeline construction (pipeline.py:32-45)
+        Registry.resolve_class(strategy)
+        self.strategy = strategy
+        self.force_ocr = force_ocr
+        self.num_partitions = num_partitions
+        self.salt_buckets = salt_buckets
+        self.src_snapshot_id = src_snapshot_id
+
+    def process(self, df: DataFrame) -> DataFrame:
+        """Detailed per-turn records (``ocr_detailed`` analog)."""
+        return extract_detailed(
+            df,
+            force_ocr=self.force_ocr,
+            src_snapshot_id=self.src_snapshot_id,
+            num_partitions=self.num_partitions,
+            salt_buckets=self.salt_buckets,
+            strategy=self.strategy,
+        )
+
+    def get_text(self, df: DataFrame) -> DataFrame:
+        """Per-turn plain text (``get_text`` / ``ocr`` analog)."""
+        return self.process(df).select("conv_id", "turn_idx", "text")
+
+    def get_conversations(self, df: DataFrame) -> DataFrame:
+        """Whole-conversation assembly (page-list join analog)."""
+        return conversation_text(self.process(df))
+
+
 def conversation_text(extracted: DataFrame) -> DataFrame:
     """Assemble whole-conversation text under stable turn ordering.
 

@@ -114,3 +114,21 @@ def test_spark_dispatch_dynamically_registered_strategy(spark):
 def test_unknown_strategy_fails_at_plan_time(spark):
     with pytest.raises(ValueError, match="not found"):
         extract_detailed(_turns(spark), strategy="bogus")
+
+
+def test_pipeline_facade(spark):
+    # OCRPipeline analog: config held once, reused per call
+    from occular_ocr_spark.job import ExtractionPipeline
+
+    with pytest.raises(ValueError, match="not found"):
+        ExtractionPipeline(strategy="bogus")
+
+    pipe = ExtractionPipeline(strategy="plain_only", salt_buckets=2,
+                              src_snapshot_id=9)
+    out = pipe.process(_turns(spark)).collect()
+    assert {r["method"] for r in out} == {"plain"}
+    assert all(r["src_snapshot_id"] == 9 for r in out)
+    txt = pipe.get_text(_turns(spark)).columns
+    assert txt == ["conv_id", "turn_idx", "text"]
+    conv = pipe.get_conversations(_turns(spark)).collect()
+    assert len(conv) == 1 and conv[0]["n_turns"] == 3

@@ -1203,12 +1203,6 @@ def _dot(a, b):
     )
 
 
-def _l2norm(a):
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    )
-
-
 def _dot_unrolled(a, b, dim: int):
     """Unrolled fixed-dim dot product: a left-to-right sum of dim
     element products.  Identical FP order to _dot (and to the oracle's

@@ -50,6 +50,7 @@ HEADLINE = [
     "text_assembly",
     "sessionize",
     "asof_join",
+    "window_tumbling",
     "pivot_events",
     "range_join_bucketed",
     "lang_quality",

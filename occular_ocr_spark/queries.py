@@ -459,6 +459,40 @@ GROUP BY user_id
 _EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
 
 
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via F.window — the BATCH twin of the
+    streaming turn-rate query (streaming/__init__.py:136: the same
+    6-hour tumbling windows under a watermark).  Verifying it here
+    pins the window-alignment semantics (epoch-aligned buckets) that
+    the streaming path inherits.
+
+    Scale: windows are computed map-side (a truncation, not a join);
+    one partial-aggregated shuffle on (window, event_type).
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# Spark's tumbling windows are epoch-aligned; the oracle replays the
+# same alignment arithmetically (DuckDB's time_bucket has a different
+# origin, so floor-on-epoch is the portable form).
+ORACLE_WINDOW_TUMBLING = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: daily event counts, one column per event type (the
     wide-format reporting rollup).
@@ -2217,6 +2251,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_daily": q_rollup_daily,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "window_tumbling": q_window_tumbling,
     "pivot_events": q_pivot_events,
     "range_join_bucketed": q_range_join_bucketed,
     "dedup_exact": q_dedup_exact,
@@ -2262,6 +2297,7 @@ ORACLES: Dict[str, str] = {
     "rollup_daily": ORACLE_ROLLUP_DAILY,
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF_JOIN,
+    "window_tumbling": ORACLE_WINDOW_TUMBLING,
     "pivot_events": ORACLE_PIVOT_EVENTS,
     "range_join_bucketed": ORACLE_RANGE_JOIN_BUCKETED,
     "dedup_exact": ORACLE_DEDUP_EXACT,

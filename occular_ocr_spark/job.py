@@ -81,6 +81,64 @@ def repartition_salted(
     return df.repartition(num_partitions, F.col("conv_id"))
 
 
+def _plain_safe_predicate():
+    """Conservative JVM-side pre-dispatch: TRUE only when the payload is
+    provably 'plain' under core.dispatch — it contains none of the
+    characters any other method requires (``<`` for HTML hints and
+    markup tags, a backtick for fences, ``{`` for the PDF text layer)
+    and no whitespace beyond space/newline (so Spark ``trim`` ==
+    Python ``str.strip`` exactly).  Any row that fails the test simply
+    takes the Python path, where the authoritative dispatcher decides —
+    a false negative costs a few µs, a false positive cannot happen.
+    """
+    t = F.col("text")
+    return (
+        t.isNotNull()
+        & ~t.contains("<")
+        & ~t.contains("`")
+        & ~t.contains("{")
+        & ~t.rlike("[\\t\\r\\x0B\\f]")
+    )
+
+
+def _plain_blocks_expr():
+    """core.extract_plain as a pure Catalyst expression: per non-blank
+    line one block ``(span(start, end, y), trim(line), 1.0)`` with
+    source offsets accumulated across lines — bit-identical to the
+    Python kernel for payloads passing :func:`_plain_safe_predicate`."""
+    lines = F.split(F.col("text"), "\n")
+    indexed = F.transform(
+        lines, lambda ln, i: F.struct(ln.alias("ln"), i.alias("y"))
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("off"),
+        F.array().cast(ArrayType(BLOCK_TYPE)).alias("blocks"),
+    )
+
+    def step(acc, x):
+        ln = x["ln"]
+        trimmed = F.trim(ln)
+        lead = F.length(ln) - F.length(F.ltrim(ln))
+        start = (acc["off"] + lead).cast("int")
+        blk = F.struct(
+            F.struct(
+                start.alias("start"),
+                (start + F.length(trimmed)).cast("int").alias("end"),
+                x["y"].cast("int").alias("y"),
+            ).alias("span"),
+            trimmed.alias("text"),
+            F.lit(1.0).alias("confidence"),
+        )
+        return F.struct(
+            (acc["off"] + F.length(ln) + 1).cast("int").alias("off"),
+            F.when(
+                trimmed != "", F.concat(acc["blocks"], F.array(blk))
+            ).otherwise(acc["blocks"]).alias("blocks"),
+        )
+
+    return F.aggregate(indexed, zero, step, lambda acc: acc["blocks"])
+
+
 def extract_detailed(
     df: DataFrame,
     force_ocr: bool = False,
@@ -88,6 +146,7 @@ def extract_detailed(
     num_partitions: Optional[int] = None,
     salt_buckets: int = 0,
     strategy: Optional[str] = None,
+    jvm_plain_fast_path: bool = True,
 ) -> DataFrame:
     """Detailed extraction: one output row per turn, with blocks + lineage.
 
@@ -100,6 +159,16 @@ def extract_detailed(
     extension point); only the name + config ride the closure — the
     instance is built once per executor Python worker and reused across
     Arrow batches.  Default: the standard dual-path extractor.
+
+    ``jvm_plain_fast_path``: with the default strategy, payloads that
+    are PROVABLY plain (see :func:`_plain_safe_predicate`) are
+    extracted by pure Catalyst expressions and never enter a Python
+    worker — nor the salted exchange, since there is no Python stage to
+    balance for them.  At corpus scale this removes both the Arrow
+    transfer and the shuffle for the plain fraction of the data; the
+    remaining rows take the usual scan -> salted exchange -> mapInArrow
+    path.  Disabled automatically for non-default strategies (their
+    semantics are theirs to define).
     """
     strat_name, strat_class = Registry.resolve_class(strategy)
     # Column pruning BEFORE the exchange: only (conv_id, turn_idx, text)
@@ -111,9 +180,33 @@ def extract_detailed(
         F.col("turn_idx").cast("int").alias("turn_idx"),
         F.col("text").cast("string").alias("text"),
     )
+    snap = -1 if src_snapshot_id is None else int(src_snapshot_id)
+    fast = None
+    if jvm_plain_fast_path and strat_name == "standard":
+        safe = _plain_safe_predicate()
+        staged = df.where(safe).select(
+            "conv_id", "turn_idx", _plain_blocks_expr().alias("blocks")
+        )
+        fast = staged.select(
+            "conv_id",
+            "turn_idx",
+            F.lit(core.METHOD_PLAIN).alias("method"),
+            "blocks",
+            # "\n".join of the block texts (__init__.py:93-101)
+            F.array_join(
+                F.transform("blocks", lambda b: b["text"]), "\n"
+            ).alias("text"),
+            F.lit(snap).cast("long").alias("src_snapshot_id"),
+            # lineage: the partition that produced the row (the scan
+            # partition here; the Arrow stage's partition on the UDF path)
+            F.spark_partition_id().alias("partition_id"),
+            F.lit(core.EXTRACTOR_VERSION).alias("extractor_version"),
+        )
+        # ~safe is TRUE for null payloads too (safe is a strict false
+        # there), so the Python path keeps the None-payload guard
+        df = df.where(~safe)
     if num_partitions:
         df = repartition_salted(df, num_partitions, salt_buckets)
-    snap = -1 if src_snapshot_id is None else int(src_snapshot_id)
 
     def run(batches):
         # Arrow-native batch loop (mapInArrow): the nested blocks column is
@@ -180,7 +273,10 @@ def extract_detailed(
                 names=[f.name for f in EXTRACTED_SCHEMA.fields],
             )
 
-    return df.mapInArrow(run, schema=EXTRACTED_SCHEMA)
+    out = df.mapInArrow(run, schema=EXTRACTED_SCHEMA)
+    if fast is not None:
+        out = out.unionByName(fast)
+    return out
 
 
 def extract_text(df: DataFrame, **kwargs) -> DataFrame:

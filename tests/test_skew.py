@@ -20,8 +20,13 @@ def _mega_fixture(spark):
 
 
 def test_unsalted_mega_conversation_serializes(spark):
+    # fast_path off: this test observes the Python stage's partitioning
+    # specifically (plain rows on the JVM fast path keep their scan
+    # partition and never ride the salted exchange at all)
     df, pdf = _mega_fixture(spark)
-    out = extract_detailed(df, num_partitions=8, salt_buckets=0)
+    out = extract_detailed(
+        df, num_partitions=8, salt_buckets=0, jvm_plain_fast_path=False
+    )
     parts = (
         out.groupBy("conv_id")
         .agg(F.countDistinct("partition_id").alias("n_parts"))
@@ -33,7 +38,9 @@ def test_unsalted_mega_conversation_serializes(spark):
 
 def test_salted_mega_conversation_spreads(spark):
     df, pdf = _mega_fixture(spark)
-    out = extract_detailed(df, num_partitions=8, salt_buckets=4)
+    out = extract_detailed(
+        df, num_partitions=8, salt_buckets=4, jvm_plain_fast_path=False
+    )
     agg = {
         r["conv_id"]: r["n_parts"]
         for r in out.groupBy("conv_id")

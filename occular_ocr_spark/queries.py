@@ -2325,3 +2325,9 @@ ORACLES: Dict[str, str] = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }
+
+
+# Catalog extensions (dedup groups, k-means, streaming entries)
+# self-register into QUERIES/ORACLES on import; queries_ext only touches
+# attributes defined above this line, so either import order works.
+from . import queries_ext as _queries_ext  # noqa: E402,F401

@@ -1,0 +1,405 @@
+"""Catalog extensions: dedup group assignment (connected components),
+iterative k-means (Lloyd), and driver-verifiable Structured Streaming
+entries.
+
+These are net-new scale machinery beyond the reference's operator set
+(the reference is a single-document OCR pipeline, ``ocr_skel/``): the
+pieces a 100 TB training-data pipeline needs AFTER pairwise dedup
+(pairs -> canonical groups), for embedding-space curation (k-means
+clustering), and for continuous ingest (the streaming twin, previously
+pytest-only, here run end-to-end under the driver's DuckDB gate via the
+``availableNow`` bounded-backfill trigger).
+
+Import contract: this module is imported at the BOTTOM of
+``queries.py`` and self-registers into ``queries.QUERIES`` /
+``queries.ORACLES``.  It only touches attributes that ``queries.py``
+defines above its import line, so either module can be imported first.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import queries as _q
+
+# ---------------------------------------------------------------------------
+# Dedup groups: connected components over verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ROUNDS = 12
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> canonical dedup groups: connected components by
+    iterative min-label propagation (the Pregel pattern).
+
+    The step every production dedup pipeline needs after candidate
+    verification: near-dup PAIRS are not actionable until they become
+    GROUPS (keep one doc per component, drop the rest).  Edges are the
+    MinHash-LSH-verified pairs (:func:`queries.q_dedup_minhash_verify`);
+    every document gets ``group_id`` = the smallest doc_id reachable
+    from it (singletons map to themselves).
+
+    Each round is one shuffle join (labels x edges, keyed on the edge
+    source) plus one partial-aggregated min-groupBy; labels are
+    checkpointed per round so the plan never grows with iteration
+    count.  Rounds needed = component diameter — near-dup clusters are
+    shallow (a handful of hops), and the loop stops as soon as a round
+    changes nothing, with a hard cap as backstop.  At 100 TB the same
+    loop runs with a reliable checkpoint dir instead of
+    ``localCheckpoint`` and converges in O(log n) rounds with the
+    large-star/small-star variant; min-label is the s=1 special case.
+    """
+    pairs = _q.q_dedup_minhash_verify(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        _q._t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    # Monotone convergence metric: min-label never increases, so the
+    # label sum strictly decreases until the fixpoint (decimal: a
+    # corpus-scale sum of 64-bit ids overflows a long).
+    sum_expr = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(sum_expr).collect()[0][0]
+    for _ in range(_CC_MAX_ROUNDS):
+        prop = labels.join(edges, labels.doc_id == edges.src).select(
+            F.col("dst").alias("doc_id"), F.col("lbl")
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(sum_expr).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("lbl").alias("group_id"))
+
+
+# Recursive-CTE twin: enumerate (node, reachable-smaller-label) pairs and
+# take the min per node.  The `r.lbl < e.dst` guard prunes propagation to
+# labels that could never win while keeping the component minimum (which
+# is smaller than every other member) flowing everywhere.
+ORACLE_DEDUP_GROUPS = f"""
+WITH RECURSIVE pairs AS ({_q.ORACLE_DEDUP_MINHASH_VERIFY}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (
+  SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS BIGINT) AS lbl
+  FROM documents
+  UNION
+  SELECT e.dst AS node, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lbl < e.dst)
+SELECT node AS doc_id, min(lbl) AS group_id
+FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd): iterative ML over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_KM_ITERS = 2
+
+
+def _d2_to_literal(col, vec) -> "F.Column":
+    """Unrolled squared L2 distance to a DRIVER-SIDE literal centroid —
+    left-to-right accumulation, the same FP order as the oracle's
+    ordered unnest-sum."""
+    out = None
+    for j, v in enumerate(vec):
+        d = F.get(col, j) - F.lit(float(v))
+        term = d * d
+        out = term if out is None else out + term
+    return out
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, ``_KM_ITERS`` fixed iterations, K = ``_IVF_K``
+    seeds (the first K vectors — the same deterministic seeding as the
+    IVF quantizer, queries.py ``_ivf_assignment``).
+
+    Per iteration the 100 TB plan is ONE map-side pass over the corpus:
+    centroids live on the driver (O(K·dim) — the k-means invariant), so
+    the nearest-centroid argmin is a pure projection
+    (``array_min`` over K (d2, cid) structs — no crossJoin, no window,
+    no per-vector shuffle), and the new means are a partially-aggregated
+    groupBy with K groups x dim avg columns: the shuffle carries
+    K·dim·partitions partial sums, nothing proportional to the corpus.
+    Compare ``_ivf_assignment`` (crossJoin + window), which pays a
+    per-vector shuffle because it must RETURN the assignment; here only
+    the means survive, so the argmin can stay inside the scan stage.
+
+    Output: the final centroids as scalar rows (centroid_id, dim_idx,
+    val) — array columns are unsortable in rows-only comparators.
+    """
+    dim = _q._embedding_dim(spark, sf_dir)
+    e = (
+        _q._t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["emb"]])
+        for r in e.where(F.col("vec_id") < _q._IVF_K).collect()
+    )
+    means = None
+    for it in range(_KM_ITERS):
+        dists = F.array(
+            *[
+                F.struct(
+                    _d2_to_literal(F.col("emb"), vec).alias("d2"),
+                    F.lit(cid).cast("bigint").alias("cid"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        assign = e.select(F.array_min(dists)["cid"].alias("centroid_id"), "emb")
+        means = assign.groupBy("centroid_id").agg(
+            *[F.avg(F.get("emb", j)).alias(f"m{j}") for j in range(dim)]
+        )
+        if it < _KM_ITERS - 1:
+            cents = sorted(
+                (int(r["centroid_id"]), [float(r[f"m{j}"]) for j in range(dim)])
+                for r in means.collect()
+            )
+    e.unpersist()
+    return means.select(
+        "centroid_id",
+        F.posexplode(F.array(*[F.col(f"m{j}") for j in range(dim)])).alias(
+            "dim_idx", "val"
+        ),
+    ).select(
+        "centroid_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+def _km_assign_sql(cents_cte: str) -> str:
+    return f"""
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (SELECT sum((a - b) * (a - b))
+              FROM (SELECT unnest(e.emb) a, unnest(c.cvec) b)), c.cid) AS rk
+    FROM e CROSS JOIN {cents_cte} c) WHERE rk = 1"""
+
+
+def _km_means_sql(assign_cte: str) -> str:
+    return f"""
+  SELECT cid, i - 1 AS dim_idx, avg(v) AS val FROM (
+    SELECT cid, unnest(emb) AS v,
+           unnest(generate_series(1, len(emb))) AS i FROM {assign_cte})
+  GROUP BY cid, i"""
+
+
+ORACLE_KMEANS_LLOYD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < {_q._IVF_K}),
+a1 AS ({_km_assign_sql('c0')}),
+m1 AS ({_km_means_sql('a1')}),
+c1 AS (SELECT cid, list(val ORDER BY dim_idx) AS cvec FROM m1 GROUP BY cid),
+a2 AS ({_km_assign_sql('c1')}),
+m2 AS ({_km_means_sql('a2')})
+SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(dim_idx AS INT) AS dim_idx,
+       round(val, 6) AS val
+FROM m2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming entries: the Structured Streaming path under the DuckDB gate
+# ---------------------------------------------------------------------------
+
+# 2026-01-01 00:00:00 UTC; turns land every 37 s so they spread across
+# many 5-minute windows without aligning to window boundaries.
+_TS_BASE = 1767225600
+
+
+def _stream_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript turns (BASELINE.json input_hint schema)
+    derived from the documents table — same conv derivation as
+    ``q_extract_transcripts``."""
+    d = _q._t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("conv-"), (F.col("doc_id") / 10).cast("bigint").cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(
+            F.lit(_TS_BASE) + F.col("doc_id").cast("bigint") * 37
+        ).alias("ts"),
+    )
+
+
+def _stage_stream_input(spark: SparkSession, sf_dir: str):
+    """Materialize the turns as a parquet file-source directory.
+
+    One file on purpose: ``availableNow`` may split multiple files into
+    multiple micro-batches, and the entries below are written to be
+    batching-independent anyway — but a single file also makes the runs
+    byte-reproducible."""
+    tmp = tempfile.mkdtemp(prefix="occular-stream-")
+    indir = os.path.join(tmp, "in")
+    _stream_turns(spark, sf_dir).coalesce(1).write.parquet(indir)
+    return tmp, indir
+
+
+def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming extraction under the oracle gate:
+    file-source ``readStream`` -> the SAME Arrow extraction kernel as
+    the batch path -> checkpointed exactly-once parquet sink, drained
+    with the ``availableNow`` bounded-backfill trigger.
+
+    Payloads are plain document text, so extracted == trim(text) — the
+    oracle cross-checks that the streaming plumbing (source schema,
+    micro-batch planner, sink commit protocol) preserves per-turn
+    extraction equality with the batch path.  At scale the source is
+    Kafka/Iceberg-incremental and the trigger is continuous; the plan
+    shape is identical (streaming/__init__.py).
+    """
+    from .streaming import extract_stream
+
+    tmp, indir = _stage_stream_input(spark, sf_dir)
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    extract_stream(spark, indir, out, ckpt, available_now=True).awaitTermination()
+    return spark.read.parquet(out).select(
+        "conv_id", "turn_idx", "method", F.col("text").alias("extracted")
+    )
+
+
+ORACLE_STREAMING_EXTRACT = """
+SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+       CAST(doc_id % 10 AS INT) AS turn_idx,
+       'plain' AS method,
+       trim(text) AS extracted
+FROM documents
+"""
+
+
+def _mem_name(tmp: str) -> str:
+    return os.path.basename(tmp).replace("-", "_").replace(".", "_")
+
+
+def q_streaming_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked event-time window aggregation
+    (:func:`streaming.turn_rate`) run as a real streaming query into a
+    memory sink (complete mode) and returned as its final result table.
+
+    Complete mode makes the final table equal to the full group-by
+    regardless of how ``availableNow`` batches the input — the
+    deterministic surface the oracle can check; append mode + watermark
+    eviction (the unbounded-stream production mode) is pinned by
+    tests/test_streaming.py.  Window starts are emitted as epoch
+    seconds: integer arithmetic on both engines, no timezone surface.
+    """
+    from .streaming import read_transcript_stream, turn_rate
+
+    tmp, indir = _stage_stream_input(spark, sf_dir)
+    name = "tr_" + _mem_name(tmp)
+    q = (
+        turn_rate(read_transcript_stream(spark, indir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name).select(
+        F.col("win_start").cast("long").alias("win_start"), "role", "n_turns"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+ORACLE_STREAMING_TURN_RATE = f"""
+SELECT (({_TS_BASE} + doc_id * 37) // 300) * 300 AS win_start,
+       CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       count(*) AS n_turns
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator
+    (:func:`streaming.conversation_progress`,
+    ``applyInPandasWithState``) run as a real streaming query.
+
+    Update mode emits one row per conversation per micro-batch it
+    appears in; the counters are monotone, so max() over the update log
+    is the final state however ``availableNow`` batched the files —
+    batching-independent, like the other entries.
+    """
+    from .streaming import conversation_progress, read_transcript_stream
+
+    tmp, indir = _stage_stream_input(spark, sf_dir)
+    name = "prog_" + _mem_name(tmp)
+    q = (
+        conversation_progress(read_transcript_stream(spark, indir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name).groupBy("conv_id").agg(
+        F.max("n_turns").alias("n_turns"), F.max("max_turn").alias("max_turn")
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+ORACLE_STREAMING_PROGRESS = """
+SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+       count(*) AS n_turns,
+       CAST(max(doc_id % 10) AS INT) AS max_turn
+FROM documents
+GROUP BY 1
+"""
+
+
+EXT_QUERIES = {
+    "dedup_groups": q_dedup_groups,
+    "kmeans_lloyd": q_kmeans_lloyd,
+    "streaming_extract": q_streaming_extract,
+    "streaming_turn_rate": q_streaming_turn_rate,
+    "streaming_progress": q_streaming_progress,
+}
+
+EXT_ORACLES = {
+    "dedup_groups": ORACLE_DEDUP_GROUPS,
+    "kmeans_lloyd": ORACLE_KMEANS_LLOYD,
+    "streaming_extract": ORACLE_STREAMING_EXTRACT,
+    "streaming_turn_rate": ORACLE_STREAMING_TURN_RATE,
+    "streaming_progress": ORACLE_STREAMING_PROGRESS,
+}
+
+_q.QUERIES.update(EXT_QUERIES)
+_q.ORACLES.update(EXT_ORACLES)

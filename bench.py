@@ -66,17 +66,25 @@ HEADLINE = [
     "dedup_minhash_verify",
     "dedup_ngram_jaccard",
     "dedup_embed_cosine",
+    "dedup_groups",
     "cosine_topk",
     "ann_ivf_assign",
     "ann_ivf_search",
     "ann_lsh_buckets",
     "ann_lsh_search",
+    "kmeans_lloyd",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_features",
     "extract_plain_docs",
     "assemble_conversations",
     "extract_transcripts",
+    # streaming entries: fn() RUNS the availableNow streaming job at
+    # DataFrame-construction time, so the timer covers staging + the
+    # full micro-batch run, not just the final read.
+    "streaming_extract",
+    "streaming_turn_rate",
+    "streaming_progress",
 ]
 
 

@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="transcripts source path (parquet dir, JSON lines, "
                         "CSV, or one-conversation-per-file text)")
     p.add_argument("--input-format", default=None,
-                   choices=["parquet", "json", "csv", "text"],
+                   choices=["parquet", "orc", "json", "csv", "text"],
                    help="source format (default: inferred from the path "
                         "suffix, directories -> parquet)")
     p.add_argument("--output", default=None,

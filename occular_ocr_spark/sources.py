@@ -45,6 +45,7 @@ TRANSCRIPT_SCHEMA = StructType(
 
 _EXT_FORMAT = {
     ".parquet": "parquet",
+    ".orc": "orc",
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
@@ -88,6 +89,9 @@ def read_transcripts(
     fmt = (fmt or infer_format(path)).lower()
     if fmt == "parquet":
         return _normalize(spark.read.parquet(path))
+    if fmt == "orc":
+        # same columnar splittable/pruned/pushed properties as parquet
+        return _normalize(spark.read.orc(path))
     if fmt == "json":
         # explicit schema: no inference scan over the corpus
         return _normalize(spark.read.schema(TRANSCRIPT_SCHEMA).json(path))
@@ -113,5 +117,5 @@ def read_transcripts(
         )
     raise ValueError(
         f"Unknown transcript source format '{fmt}'. "
-        "Supported: parquet, json, csv, text."
+        "Supported: parquet, orc, json, csv, text."
     )

@@ -31,6 +31,7 @@ def test_infer_format():
     assert infer_format("/data/x.ndjson") == "json"
     assert infer_format("/data/x.csv") == "csv"
     assert infer_format("/data/x.txt") == "text"
+    assert infer_format("/data/x.orc") == "orc"
 
 
 def test_unknown_format_raises(spark):
@@ -53,6 +54,20 @@ def test_json_lines_source(spark, tmp_path):
     row = df.where("conv_id = 'c1' AND turn_idx = 1").first()
     assert row["role"] == "assistant" and row["tool"] == "search"
     assert row["ts"] is not None
+
+
+def test_orc_source(spark, tmp_path):
+    p = str(tmp_path / "turns.orc")
+    src = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"]) for r in ROWS],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    src.write.orc(p)
+    df = read_transcripts(spark, p)
+    _assert_canonical(df, 3)
+    row = df.where("conv_id = 'c1' AND turn_idx = 1").first()
+    assert row["role"] == "assistant" and row["tool"] == "search"
+    assert row["ts"] is None  # absent column -> NULL
 
 
 def test_csv_source(spark, tmp_path):

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import DoubleType
 
@@ -1273,50 +1275,71 @@ _COS_DUP_THRESH = 0.4
 def _ivf_assignment(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
     """(vec_id, emb, norm, centroid_id): nearest of the K fixed centroids.
 
-    The L2 norm is computed ONCE per vector here, before any pair join —
-    at n²/K candidate pairs, recomputing norms per pair would triple the
-    per-pair expression cost (the dominant term of blocked dedup).
+    The K centroids ride the ``mapInPandas`` closure as a (K, dim)
+    numpy matrix (O(K·dim) — the quantizer invariant), and each Arrow
+    batch does one vectorized broadcast-subtract argmin: no crossJoin,
+    no per-vector window shuffle — the assignment is computed INSIDE
+    the scan stage.  numpy argmin takes the first minimum and the
+    matrix rows are ordered by centroid id, so ties break to the lowest
+    cid, the same (d2, centroid_id) order as the oracle's row_number.
+
+    Why not Catalyst for the distances: a dim-length unrolled distance
+    expression generates a whole-stage method past the JVM's JIT
+    thresholds, so it executes in the bytecode interpreter —
+    measured ~10 µs per evaluation at dim=64 (2.7 s for 251k pairs)
+    versus nanoseconds for the numpy batch path.  Dense linear algebra
+    belongs in Arrow-batched numpy; the JVM keeps the plan shape
+    (scan, partitioning, joins).
+
+    The L2 norm is computed ONCE per vector here, before any pair join,
+    accumulated left-to-right over dims — the same FP order as the
+    oracle's ordered unnest-sum, so downstream rounded cosines match
+    bit-for-bit.
 
     The scan is repartitioned to the session's parallelism BEFORE the
-    K-way distance expansion: the bench corpus is one small parquet file
-    (one input split), and without the spread the whole quantizer —
-    n×K unrolled dim-length distance expressions — runs on a single
-    task.  At 100 TB the scan has thousands of splits and the
-    repartition collapses to a cheap rebalance; the distances must
-    compute where the data is wide, not where the file boundaries fell.
-
-    The float->double cast is projected BELOW that exchange on purpose:
-    the exchange is a CollapseProject barrier, so the unrolled distance
-    terms index a materialized double array — inlined, the optimizer
-    substitutes the whole-array cast into every element reference
-    (2·dim casts of a dim-length array per pair row; measured 6x on the
-    quantizer).
+    batch work: the bench corpus is one small parquet file (one input
+    split); at 100 TB the scan has thousands of splits and the
+    repartition collapses to a cheap rebalance.
     """
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    cents = e.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cvec")
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["emb"]])
+        for r in _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _IVF_K)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
-    return (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "emb",
-            "centroid_id",
-            _d2_unrolled(F.col("emb"), F.col("cvec"), dim).alias("d2"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            "vec_id",
-            "emb",
-            _l2norm_unrolled(F.col("emb"), dim).alias("norm"),
-            "centroid_id",
-        )
+    cids = np.array([c for c, _ in cents], dtype="int64")
+    cmat = np.array([v for _, v in cents], dtype="float64")
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(cmat):
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "emb": pdf["emb"],
+                     "norm": np.zeros(len(pdf)), "centroid_id": pdf["vec_id"]}
+                )
+                continue
+            m = np.array(pdf["emb"].tolist(), dtype="float64")
+            d2 = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            acc = np.zeros(len(m), dtype="float64")
+            for j in range(m.shape[1]):  # left-to-right, oracle FP order
+                acc = acc + m[:, j] * m[:, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "norm": np.sqrt(acc),
+                    "centroid_id": cids[d2.argmin(axis=1)],
+                }
+            )
+
+    return e.mapInPandas(
+        assign, "vec_id bigint, emb array<double>, norm double, centroid_id bigint"
     )
 
 
@@ -1394,12 +1417,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(s)]))
     ).repartition(parallelism, "centroid_id", "j")
     bside = chunked.repartition(parallelism, "centroid_id", "chunk")
-    cos = F.round(
-        _dot_unrolled(F.col("a.emb"), F.col("b.emb"), dim)
-        / (F.col("a.norm") * F.col("b.norm")),
-        6,
-    )
-    return (
+    pairs = (
         arep.alias("a")
         .join(
             # shuffle-hash hint: build side per key is |bucket|/s rows —
@@ -1415,9 +1433,53 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.centroid_id").alias("centroid_id"),
-            cos.alias("cos_sim"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.norm").alias("norm_b"),
         )
-        .where(F.col("cos_sim") >= _COS_DUP_THRESH)
+    )
+
+    # The cosine kernel runs in Arrow-batched numpy, NOT a Catalyst
+    # expression: the dim-length unrolled dot product exceeds the JVM's
+    # JIT method limits and executes interpreted (~10 µs/pair measured;
+    # see _ivf_assignment), and Catalyst additionally pushes the
+    # threshold filter INTO the join condition, evaluating the dot
+    # product twice per pair.  Here the JVM join enumerates candidates
+    # (keys + vec_id inequality only), then one vectorized pass scores
+    # each batch.  Accumulation is left-to-right over dims — the
+    # oracle's ordered unnest-sum FP order.  Python prefilters with a
+    # one-ulp-safe margin; the exact rounded threshold is applied
+    # JVM-side so the kept-set semantics are identical to the SQL twin.
+    thresh = _COS_DUP_THRESH
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            a = np.array(pdf["emb_a"].tolist(), dtype="float64")
+            b = np.array(pdf["emb_b"].tolist(), dtype="float64")
+            acc = np.zeros(n, dtype="float64")
+            for j in range(a.shape[1]):  # left-to-right, oracle FP order
+                acc = acc + a[:, j] * b[:, j]
+            cos = acc / (pdf["norm_a"].to_numpy() * pdf["norm_b"].to_numpy())
+            keep = cos >= thresh - 1e-6
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"][keep],
+                    "vec_b": pdf["vec_b"][keep],
+                    "centroid_id": pdf["centroid_id"][keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return (
+        pairs.mapInPandas(
+            score, "vec_a bigint, vec_b bigint, centroid_id bigint, cos_sim double"
+        )
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .where(F.col("cos_sim") >= thresh)
     )
 
 

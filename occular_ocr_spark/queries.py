@@ -1119,38 +1119,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM_K}
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a query vector (ANN baseline).
 
-    The query vector is a single-row lookup (vec_id = 0) pushed into the
-    plan as a literal array — a broadcast of one row, not a driver loop.
-    dot/norms via zip_with + aggregate in DOUBLE; deterministic
-    tie-break on vec_id.
+    The query vector is a single-row lookup (vec_id = 0) carried into
+    the scorer's closure (O(dim) — a broadcast of one row, not a driver
+    loop); scoring is one vectorized numpy pass per Arrow batch
+    (_cos_vs_query_scorer); deterministic tie-break on vec_id.
 
     Scale: embarrassingly parallel scan + TakeOrdered; the IVF variant
     (q_ann_ivf_assign) is the pruned path.
     """
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    qlit = F.array(*[F.lit(v) for v in qvec])
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            qlit,
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm_e = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    norm_q = float(sum(v * v for v in qvec) ** 0.5)
-    sim = F.round(dot / (norm_e * F.lit(norm_q)), 6)
     return (
         e.where(F.col("vec_id") != 0)
-        .select("vec_id", sim.alias("cos_sim"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .mapInPandas(
+            _cos_vs_query_scorer(qvec, "emb"), "vec_id bigint, cos_sim double"
+        )
+        .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -1227,46 +1212,44 @@ SELECT vec_id, centroid_id FROM ranked WHERE rk = 1
 """
 
 
-def _dot(a, b):
-    """Sequential double-precision dot product of two array columns.
+def _cos_vs_query_scorer(qvec, emb_col: str, norm_col=None, passthrough=("vec_id",)):
+    """``mapInPandas`` scorer: RAW (unrounded) cosine of each row's
+    vector against the closure-captured query vector.
 
-    zip_with + aggregate keeps summation order identical to the DuckDB
-    oracle's ordered unnest-sum, so both engines see bit-identical
-    doubles before the final round().
+    Dense math in Arrow-batched numpy, not Catalyst — a dim-length
+    unrolled expression runs in the JVM's bytecode interpreter past the
+    JIT method limits, and interpreted higher-order lambdas
+    (zip_with/aggregate) pay per-element overhead; both measured ~10 µs
+    per row at dim=64 (see _ivf_assignment).  Accumulation is
+    left-to-right over dims — the oracle's ordered unnest-sum FP order —
+    so the caller's JVM-side round(…, 6) matches the SQL twin
+    bit-for-bit.  ``norm_col`` reuses a precomputed row norm; otherwise
+    the norm accumulates in the same pass.
     """
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+    q = [float(v) for v in qvec]
+    qn = 0.0
+    for v in q:
+        qn += v * v
+    qn = qn ** 0.5
 
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[emb_col].tolist(), dtype="float64")
+            acc = np.zeros(len(m), dtype="float64")
+            nrm = np.zeros(len(m), dtype="float64")
+            for j in range(m.shape[1]):  # left-to-right, oracle FP order
+                acc = acc + m[:, j] * q[j]
+                nrm = nrm + m[:, j] * m[:, j]
+            den = (
+                pdf[norm_col].to_numpy() if norm_col else np.sqrt(nrm)
+            ) * qn
+            out = {c: pdf[c] for c in passthrough}
+            out["cos_sim"] = acc / den
+            yield pd.DataFrame(out)
 
-def _dot_unrolled(a, b, dim: int):
-    """Unrolled fixed-dim dot product: a left-to-right sum of dim
-    element products.  Identical FP order to _dot (and to the oracle's
-    ordered unnest-sum), but a flat expression tree that whole-stage
-    codegen compiles — versus the interpreted per-element closures of
-    aggregate(zip_with(...)), which dominate pair-scoring cost at
-    n²/K candidate pairs."""
-    out = a[0] * b[0]
-    for i in range(1, dim):
-        out = out + a[i] * b[i]
-    return out
-
-
-def _d2_unrolled(a, b, dim: int):
-    """Unrolled squared L2 distance — same FP order as the interpreted
-    aggregate(zip_with((x-y)²)) form (0.0 + t == t for the non-negative
-    first square), compiled by whole-stage codegen."""
-    out = (a[0] - b[0]) * (a[0] - b[0])
-    for i in range(1, dim):
-        out = out + (a[i] - b[i]) * (a[i] - b[i])
-    return out
-
-
-def _l2norm_unrolled(a, dim: int):
-    out = a[0] * a[0]
-    for i in range(1, dim):
-        out = out + a[i] * a[i]
-    return F.sqrt(out)
+    return score
 
 
 _COS_DUP_THRESH = 0.4
@@ -1532,20 +1515,20 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_d2([float(v) for v in r["embedding"]]), int(r["vec_id"])) for r in cents
     )
     probes = [cid for _, cid in ranked[:_IVF_NPROBE]]
-    norm_q = 0.0
-    for v in qvec:
-        norm_q += v * v
-    norm_q = norm_q ** 0.5
-    qlit = F.array(*[F.lit(v) for v in qvec])
-    sim = F.round(
-        _dot_unrolled(F.col("emb"), qlit, len(qvec))
-        / (F.col("norm") * F.lit(norm_q)),
-        6,
-    )
     return (
         _ivf_assignment(spark, sf_dir, len(qvec))
         .where(F.col("centroid_id").isin(probes) & (F.col("vec_id") != 0))
-        .select("vec_id", "centroid_id", sim.alias("cos_sim"))
+        .select("vec_id", "centroid_id", "emb", "norm")
+        .mapInPandas(
+            _cos_vs_query_scorer(
+                qvec, "emb", norm_col="norm",
+                passthrough=("vec_id", "centroid_id"),
+            ),
+            "vec_id bigint, centroid_id bigint, cos_sim double",
+        )
+        .select(
+            "vec_id", "centroid_id", F.round("cos_sim", 6).alias("cos_sim")
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(5)
     )
@@ -1595,27 +1578,45 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_buckets(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
+    """(vec_id, bucket): signed-random-projection LSH bucket per vector.
+
+    The hyperplanes are data-derived (differences of the first 2·planes
+    vectors — deterministic, no RNG) and ride the ``mapInPandas``
+    closure as a (planes, dim) matrix, so the bucket id is computed in
+    ONE map-side pass: no crossJoin row expansion, no per-vector
+    groupBy shuffle (the previous shape paid both).  Sign accumulation
+    is left-to-right over dims — the oracle's ordered unnest-sum FP
+    order, so the >= 0 sign decisions match exactly.
+    """
     e = _t(spark, sf_dir, "embeddings")
-    lo = e.where(F.col("vec_id") < planes).select(
-        F.col("vec_id").alias("plane_id"),
-        F.col("embedding").cast("array<double>").alias("pa"),
+    rows = {
+        int(r["vec_id"]): [float(v) for v in r["emb"]]
+        for r in e.where(F.col("vec_id") < 2 * planes)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    }
+    hmat = np.array(
+        [[a - b for a, b in zip(rows[p], rows[p + planes])] for p in range(planes)],
+        dtype="float64",
     )
-    hi = e.where(
-        (F.col("vec_id") >= planes) & (F.col("vec_id") < 2 * planes)
-    ).select(
-        (F.col("vec_id") - planes).alias("plane_id"),
-        F.col("embedding").cast("array<double>").alias("pb"),
-    )
-    planes = lo.join(hi, "plane_id").select(
-        "plane_id", F.zip_with("pa", "pb", lambda x, y: x - y).alias("h")
-    )
-    bit = (_dot(F.col("embedding").cast("array<double>"), F.col("h")) >= 0).cast("int")
-    return (
-        e.crossJoin(F.broadcast(planes))
-        .select("vec_id", "plane_id", bit.alias("bit"))
-        .groupBy("vec_id")
-        .agg(F.sum(F.expr("shiftleft(bit, plane_id)")).cast("int").alias("bucket"))
-    )
+    shifts = (1 << np.arange(planes, dtype="int64"))
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["emb"].tolist(), dtype="float64")
+            acc = np.zeros((len(m), hmat.shape[0]), dtype="float64")
+            for j in range(m.shape[1]):  # left-to-right, oracle FP order
+                acc = acc + m[:, j, None] * hmat[None, :, j]
+            bucket = ((acc >= 0).astype("int64") * shifts[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "bucket": bucket.astype("int32")}
+            )
+
+    return e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).mapInPandas(bucketize, "vec_id bigint, bucket int")
 
 
 ORACLE_ANN_LSH_BUCKETS = f"""
@@ -1662,26 +1663,21 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    qlit = F.array(*[F.lit(v) for v in qvec])
-    norm_q = float(sum(v * v for v in qvec) ** 0.5)
     qb = buckets.where(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket")
     )
-    emb = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(
-        F.zip_with(emb, qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    norm_e = F.sqrt(
-        F.aggregate(
-            F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
-    sim = F.round(dot / (norm_e * F.lit(norm_q)), 6)
     return (
         buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
         .where(F.col("vec_id") != 0)
         .join(e, "vec_id")
-        .select("vec_id", "bucket", sim.alias("cos_sim"))
+        .select(
+            "vec_id", "bucket", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .mapInPandas(
+            _cos_vs_query_scorer(qvec, "emb", passthrough=("vec_id", "bucket")),
+            "vec_id bigint, bucket int, cos_sim double",
+        )
+        .select("vec_id", "bucket", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(5)
     )

@@ -85,6 +85,7 @@ HEADLINE = [
     "streaming_extract",
     "streaming_turn_rate",
     "streaming_progress",
+    "streaming_dedup",
 ]
 
 

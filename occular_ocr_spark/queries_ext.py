@@ -385,6 +385,52 @@ def q_streaming_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` keyed on
+    (conv_id, turn_idx) over a stream whose input is staged TWICE (two
+    files, so duplicates can straddle micro-batch boundaries).
+
+    The dedup state store persists across micro-batches (and restarts,
+    via the checkpoint), so each key is emitted exactly once in append
+    mode no matter how ``availableNow`` batches the files — at-least-
+    once ingest (Kafka replays, backfill overlaps) becomes exactly-once
+    downstream.  At scale the state is bounded with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` (late
+    re-sends outside the watermark are already committed); the bounded
+    fixture needs no eviction, which keeps the entry deterministic.
+    """
+    from .streaming import read_transcript_stream
+
+    tmp = tempfile.mkdtemp(prefix="occular-stream-")
+    indir = os.path.join(tmp, "in")
+    turns = _stream_turns(spark, sf_dir).coalesce(1)
+    turns.write.parquet(indir)
+    turns.write.mode("append").parquet(indir)  # duplicate every turn
+    name = "dedup_" + _mem_name(tmp)
+    q = (
+        read_transcript_stream(spark, indir)
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .select("conv_id", "turn_idx", "text")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+       CAST(doc_id % 10 AS INT) AS turn_idx,
+       text
+FROM documents
+"""
+
+
 ORACLE_STREAMING_PROGRESS = """
 SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
        count(*) AS n_turns,
@@ -400,6 +446,7 @@ EXT_QUERIES = {
     "streaming_extract": q_streaming_extract,
     "streaming_turn_rate": q_streaming_turn_rate,
     "streaming_progress": q_streaming_progress,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 EXT_ORACLES = {
@@ -408,6 +455,7 @@ EXT_ORACLES = {
     "streaming_extract": ORACLE_STREAMING_EXTRACT,
     "streaming_turn_rate": ORACLE_STREAMING_TURN_RATE,
     "streaming_progress": ORACLE_STREAMING_PROGRESS,
+    "streaming_dedup": ORACLE_STREAMING_DEDUP,
 }
 
 _q.QUERIES.update(EXT_QUERIES)

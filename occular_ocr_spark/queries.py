@@ -1974,42 +1974,41 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 8-char rolling windows.
 
     The window hash is a base-31 polynomial over the character codes
-    (Σ code(c_j)·31^j — the Rabin-Karp shape, exact in BIGINT): ~8
-    integer mul-adds per window instead of a full md5 digest per
-    character offset, and the per-row transient is an int64 array
-    (8 B/char) instead of 32-char digest strings (~32 B/char).
+    (Σ code(c_j)·31^j — the Rabin-Karp shape, exact in BIGINT),
+    computed as one integer ``np.correlate`` against the weight vector
+    per document (dense-math doctrine, SURVEY §4: Catalyst higher-order
+    lambdas are interpreted per element — the previous
+    transform-over-offsets form paid ~30 interpreted expression nodes
+    per character).  Per-row transient is the int64 code array
+    (8 B/char), streamed batch by batch.
 
-    The char codes are materialized ONCE per row (one ascii() per
-    character) and the window terms index into that array — higher-order
-    lambdas are interpreted per element, so the naive
-    substr+ascii-per-term form costs ~window× more interpreted
-    expression nodes for the same arithmetic.
-
-    Scale: map-side only inside one expression — no explode (one row
-    per character of the corpus) and NO shuffle at all.
+    Scale: map-side only — no explode (one row per character of the
+    corpus) and NO shuffle at all.
     """
     d = _t(spark, sf_dir, "documents")
-    codes = F.transform(
-        F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint")
-    )
-    staged = d.select("doc_id", F.length("text").alias("n"), codes.alias("codes"))
-    idx = F.when(
-        F.col("n") >= _FP_WINDOW,
-        F.sequence(F.lit(0), F.col("n") - _FP_WINDOW),
-    ).otherwise(F.array(F.lit(0)))
+    weights = np.array([_FP_BASE ** j for j in range(_FP_WINDOW)], dtype="int64")
 
-    def poly(i):
-        # window at 0-based offset i; F.get is 0-based and NULL-safe past
-        # the end (the len < window case), matching the oracle's CASE 0s
-        out = None
-        for j in range(_FP_WINDOW):
-            code = F.coalesce(F.get("codes", i + F.lit(j)), F.lit(0).cast("bigint"))
-            term = code * F.lit(_FP_BASE ** j).cast("bigint")
-            out = term if out is None else out + term
-        return out
+    def fp(batches):
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype="int64")
+            for i, t in enumerate(pdf["text"]):
+                t = t or ""
+                b = t.encode("utf-8")
+                if len(b) == len(t):  # pure ASCII: bytes ARE the codes
+                    codes = np.frombuffer(b, dtype="uint8").astype("int64")
+                else:
+                    codes = np.array([ord(c) for c in t], dtype="int64")
+                if len(codes) < _FP_WINDOW:
+                    # short doc: one zero-padded window at offset 0 — the
+                    # oracle's CASE ... ELSE 0 terms
+                    codes = np.pad(codes, (0, _FP_WINDOW - len(codes)))
+                # correlate = Σ codes[i+j]·B^j per offset: the rolling
+                # polynomial over every window, exact in int64
+                out[i] = np.correlate(codes, weights).min()
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": out})
 
-    return staged.select(
-        "doc_id", F.array_min(F.transform(idx, poly)).alias("fingerprint")
+    return d.select("doc_id", "text").mapInPandas(
+        fp, "doc_id bigint, fingerprint bigint"
     )
 
 

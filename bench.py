@@ -76,6 +76,7 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_features",
+    "multimodal_resize",
     "extract_plain_docs",
     "assemble_conversations",
     "extract_transcripts",

@@ -440,6 +440,47 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal resize through the catalog (the one multimodal UDF that had
+# no queries() entry)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing under the oracle gate: binary payloads ->
+    :func:`functions.multimodal.resize_image` (mapInPandas; the
+    resample body is the documented deterministic stand-in, the Arrow
+    batch shape and schema are real) -> stable digest of the returned
+    payload plus the target dimensions.
+
+    The digest (not the raw binary) is the comparator surface: rows-only
+    harnesses canonicalize scalars reliably, and it proves byte-exact
+    payload passthrough end-to-end through the Python worker.
+    """
+    from .functions.multimodal import resize_image
+
+    d = _q._t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    r = resize_image(d, 224, 224)
+    return r.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        "width",
+        "height",
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(text) AS payload_md5,
+       CAST(length(text) AS INT) AS n_bytes,
+       CAST(224 AS INT) AS width,
+       CAST(224 AS INT) AS height
+FROM documents
+"""
+
+
 EXT_QUERIES = {
     "dedup_groups": q_dedup_groups,
     "kmeans_lloyd": q_kmeans_lloyd,
@@ -447,6 +488,7 @@ EXT_QUERIES = {
     "streaming_turn_rate": q_streaming_turn_rate,
     "streaming_progress": q_streaming_progress,
     "streaming_dedup": q_streaming_dedup,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 EXT_ORACLES = {
@@ -456,6 +498,7 @@ EXT_ORACLES = {
     "streaming_turn_rate": ORACLE_STREAMING_TURN_RATE,
     "streaming_progress": ORACLE_STREAMING_PROGRESS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
 }
 
 _q.QUERIES.update(EXT_QUERIES)

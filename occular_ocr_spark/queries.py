@@ -1779,22 +1779,29 @@ FROM (SELECT doc_id, text, n_chars, ' ' || text || ' ' AS p FROM documents)
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish subword estimate
-    (chars/4, the standard heuristic) per doc and corpus-wide."""
+    """Token counting, three estimators per doc: whitespace tokens, a
+    BPE-ish regex tokenization (word runs + lone punctuation,
+    `\\w+|[^\\w\\s]` — the GPT-2-style pre-tokenizer shape), and the
+    chars/4 subword estimate.  All map-side string ops, zero shuffle."""
     d = _t(spark, sf_dir, "documents")
     words = F.size(F.split("text", " ")).cast("bigint")
+    regex_toks = F.size(
+        F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    ).cast("bigint")
     bpe_est = F.ceil(F.length("text") / 4).cast("bigint")
     return d.select(
         "doc_id",
         words.alias("n_words"),
+        regex_toks.alias("n_regex_tokens"),
         bpe_est.alias("n_bpe_est"),
         F.greatest(words, bpe_est).alias("n_tokens_budget"),
     )
 
 
-ORACLE_TOKEN_COUNT = """
+ORACLE_TOKEN_COUNT = r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS n_regex_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
        CAST(greatest(len(string_split(text, ' ')), CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens_budget
 FROM documents

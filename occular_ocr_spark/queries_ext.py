@@ -139,6 +139,8 @@ def _km_assign_udf(cents):
 
     @F.pandas_udf("long")
     def assign(emb: pd.Series) -> pd.Series:
+        if not len(emb) or not len(cmat):
+            return pd.Series([], dtype="int64")
         m = np.array(emb.tolist(), dtype="float64")
         d2 = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(cids[d2.argmin(axis=1)])

@@ -1993,30 +1993,42 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) and NO shuffle at all.
     """
     d = _t(spark, sf_dir, "documents")
-    weights = np.array([_FP_BASE ** j for j in range(_FP_WINDOW)], dtype="int64")
 
     def fp(batches):
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype="int64")
-            for i, t in enumerate(pdf["text"]):
-                t = t or ""
-                b = t.encode("utf-8")
-                if len(b) == len(t):  # pure ASCII: bytes ARE the codes
-                    codes = np.frombuffer(b, dtype="uint8").astype("int64")
-                else:
-                    codes = np.array([ord(c) for c in t], dtype="int64")
-                if len(codes) < _FP_WINDOW:
-                    # short doc: one zero-padded window at offset 0 — the
-                    # oracle's CASE ... ELSE 0 terms
-                    codes = np.pad(codes, (0, _FP_WINDOW - len(codes)))
-                # correlate = Σ codes[i+j]·B^j per offset: the rolling
-                # polynomial over every window, exact in int64
-                out[i] = np.correlate(codes, weights).min()
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": out})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fingerprint": _rolling_fingerprints(pdf["text"]),
+                }
+            )
 
     return d.select("doc_id", "text").mapInPandas(
         fp, "doc_id bigint, fingerprint bigint"
     )
+
+
+def _rolling_fingerprints(texts) -> "np.ndarray":
+    """Minimum base-31 polynomial over all ``_FP_WINDOW``-char windows
+    of each text, exact in int64 (property-tested against the naive
+    per-window polynomial in tests/test_kernels.py)."""
+    weights = np.array([_FP_BASE ** j for j in range(_FP_WINDOW)], dtype="int64")
+    out = np.zeros(len(texts), dtype="int64")
+    for i, t in enumerate(texts):
+        t = t or ""
+        b = t.encode("utf-8")
+        if len(b) == len(t):  # pure ASCII: bytes ARE the codes
+            codes = np.frombuffer(b, dtype="uint8").astype("int64")
+        else:
+            codes = np.array([ord(c) for c in t], dtype="int64")
+        if len(codes) < _FP_WINDOW:
+            # short doc: one zero-padded window at offset 0 — the
+            # oracle's CASE ... ELSE 0 terms
+            codes = np.pad(codes, (0, _FP_WINDOW - len(codes)))
+        # correlate = Σ codes[i+j]·B^j per offset: the rolling
+        # polynomial over every window, exact in int64
+        out[i] = np.correlate(codes, weights).min()
+    return out
 
 
 _FP_TERMS = " + ".join(

@@ -46,6 +46,8 @@ HEADLINE = [
     "join_broadcast",
     "multi_join",
     "groupby_agg",
+    "cube_counts",
+    "group_quantiles",
     "explode_tokens",
     "text_assembly",
     "sessionize",

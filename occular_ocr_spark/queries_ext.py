@@ -443,6 +443,69 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Grouping sets + exact quantiles (relational-shell coverage)
+# ---------------------------------------------------------------------------
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE over (lang, source) with a grouping-id
+    bitmask disambiguating rolled-up NULLs from data NULLs.
+
+    Scale: one shuffle — Spark expands the grouping sets map-side
+    (each input row feeds all 4 grouping combinations via Expand) and
+    partial-aggregates before the exchange, so the shuffle carries at
+    most |lang|x|source| partials per set, never the corpus.
+    """
+    d = _q._t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select("lang", "source", "n_docs", "total_chars", "gid")
+    )
+
+
+ORACLE_CUBE_COUNTS = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(GROUPING(lang, source) AS INT) AS gid
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (median + p95 of extended price per
+    return flag) via the exact ``percentile`` aggregate with linear
+    interpolation — the statistics pass of a curation pipeline.
+
+    Scale: exact percentile sorts within each group's aggregation
+    buffer; for heavy groups the production knob is
+    ``approx_percentile`` (t-digest, mergeable partial aggregation) —
+    approximate answers have no SQL-equality oracle, so the exact form
+    is the verified entry and the approx form is the documented swap.
+    """
+    li = _q._t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95D)"), 4).alias("p95_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_GROUP_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal resize through the catalog (the one multimodal UDF that had
 # no queries() entry)
 # ---------------------------------------------------------------------------
@@ -491,6 +554,8 @@ EXT_QUERIES = {
     "streaming_progress": q_streaming_progress,
     "streaming_dedup": q_streaming_dedup,
     "multimodal_resize": q_multimodal_resize,
+    "cube_counts": q_cube_counts,
+    "group_quantiles": q_group_quantiles,
 }
 
 EXT_ORACLES = {
@@ -501,6 +566,8 @@ EXT_ORACLES = {
     "streaming_progress": ORACLE_STREAMING_PROGRESS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "cube_counts": ORACLE_CUBE_COUNTS,
+    "group_quantiles": ORACLE_GROUP_QUANTILES,
 }
 
 _q.QUERIES.update(EXT_QUERIES)

@@ -481,11 +481,15 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag) via the exact ``percentile`` aggregate with linear
     interpolation — the statistics pass of a curation pipeline.
 
-    Scale: exact percentile sorts within each group's aggregation
-    buffer; for heavy groups the production knob is
-    ``approx_percentile`` (t-digest, mergeable partial aggregation) —
-    approximate answers have no SQL-equality oracle, so the exact form
-    is the verified entry and the approx form is the documented swap.
+    Scale: exact percentile buffers each group's values and sorts them
+    in the final aggregation — effective parallelism = number of
+    groups, memory = the largest group.  That is the right trade for
+    low-cardinality stat groups (3 return flags here); for per-corpus
+    or high-cardinality quantiles the production knob is
+    ``approx_percentile`` (t-digest — mergeable, bounded-memory,
+    map-side partial aggregation).  Approximate answers have no
+    SQL-equality oracle, so the exact form is the verified entry and
+    the approx form is the documented swap.
     """
     li = _q._t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

@@ -103,9 +103,12 @@ def warmup(spark, sf_dir: str) -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
-def run_bench(spark, sf_dir: str, passes: int = 2) -> dict:
+def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
     from occular_ocr_spark.queries import QUERIES
 
+    # shared host: record contention so a noisy recorded number is
+    # attributable (see BENCH/BASELINE.md run history)
+    load_start = os.getloadavg()[0]
     warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     extraction_rows = 0
@@ -139,6 +142,8 @@ def run_bench(spark, sf_dir: str, passes: int = 2) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "host_load_1m_start": round(load_start, 2),
+        "host_load_1m_end": round(os.getloadavg()[0], 2),
     }
     if extraction_sec > 0:
         out["extraction_turns_per_sec"] = round(extraction_rows / extraction_sec, 1)

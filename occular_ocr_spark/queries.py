@@ -905,6 +905,13 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle count is then a groupBy over only the candidate
     docs' shingles.  If candidates ever outgrew broadcast, the same
     joins run shuffled on doc_id unchanged.
+
+    The verified-pairs result is persisted (like the IVF index,
+    `_ivf_assignment`): it is the edge set of `dedup_groups`'s
+    connected components, which reuses it via CacheManager plan
+    matching — in production this is a materialized table whose
+    lifetime outlives any one query.  Memory is O(near-dup pairs),
+    a vanishing fraction of the corpus.
     """
     sh = _shingles(spark, sf_dir)
     cands = _minhash_candidates(sh)
@@ -931,6 +938,7 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= _MINHASH_VERIFY_THRESH)
         .select("doc_a", "doc_b", "jaccard")
+        .persist()
     )
 
 

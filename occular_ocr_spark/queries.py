@@ -1735,18 +1735,26 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
 # Text analysis for training-data curation
 # ---------------------------------------------------------------------------
 
+# Stopword marker n-grams per language; dict order is the deterministic
+# tie-break priority of the argmax.  ONE definition generates both the
+# Spark expressions and the SQL twin, so the engines cannot drift.
 _LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
-    "frequent": [" data ", " table ", " query "],
+    "es": [" el ", " los ", " las "],
+    "fr": [" le ", " les ", " une "],
 }
 
 
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID (marker n-gram counts) + quality scoring
-    (token/char ratios) in one pass — the curation-filter pattern.
+    """Language-ID (argmax over per-language stopword-marker counts)
+    + quality scoring (token/char ratios) in one pass — the
+    curation-filter pattern.
 
     Occurrence counting via length-difference arithmetic so Spark and
-    ANSI SQL agree exactly; all floats rounded to 6.
+    ANSI SQL agree exactly; ties break by `_LANG_MARKERS` order, all
+    marker scores hit zero -> 'unk'.  All floats rounded to 6.
+
+    Scale: pure map-side string arithmetic, zero shuffle.
     """
     d = _t(spark, sf_dir, "documents")
 
@@ -1757,28 +1765,49 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
 
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    en_score = sum(occurrences(padded, m) for m in _LANG_MARKERS["en"])
+    scores = {
+        lang: sum(occurrences(padded, m) for m in ms)
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("unk"))
+    for lang in _LANG_MARKERS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
     n_tokens = F.size(F.split("text", " "))
     avg_tok_len = F.round(F.length("text") / n_tokens, 6)
     return d.select(
         "doc_id",
-        en_score.alias("en_markers"),
-        F.when(en_score > 0, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        *[scores[lang].alias(f"{lang}_markers") for lang in _LANG_MARKERS],
+        pred.alias("lang_pred"),
         n_tokens.cast("bigint").alias("n_tokens"),
         avg_tok_len.alias("avg_tok_len"),
         F.round(n_tokens / (F.col("n_chars") + F.lit(1.0)), 6).alias("token_ratio"),
     )
 
 
-ORACLE_LANG_QUALITY = """
+def _lang_score_sql(markers) -> str:
+    return " + ".join(
+        f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}" for m in markers
+    )
+
+
+_LANG_SCORE_SQL = {l: _lang_score_sql(ms) for l, ms in _LANG_MARKERS.items()}
+_LANG_GREATEST = "greatest(" + ", ".join(
+    _LANG_SCORE_SQL[l] for l in _LANG_MARKERS
+) + ")"
+_LANG_PRED_SQL = (
+    f"CASE WHEN {_LANG_GREATEST} = 0 THEN 'unk' "
+    + " ".join(
+        f"WHEN ({_LANG_SCORE_SQL[l]}) = {_LANG_GREATEST} THEN '{l}'"
+        for l in _LANG_MARKERS
+    )
+    + " END"
+)
+
+ORACLE_LANG_QUALITY = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(((length(p) - length(replace(p, ' the ', ''))) / 5
-           + (length(p) - length(replace(p, ' and ', ''))) / 5
-           + (length(p) - length(replace(p, ' of ', ''))) / 4) AS BIGINT) AS en_markers,
-       CASE WHEN ((length(p) - length(replace(p, ' the ', ''))) / 5
-                + (length(p) - length(replace(p, ' and ', ''))) / 5
-                + (length(p) - length(replace(p, ' of ', ''))) / 4) > 0
-            THEN 'en' ELSE 'unk' END AS lang_pred,
+       {", ".join(f"CAST({_LANG_SCORE_SQL[l]} AS BIGINT) AS {l}_markers" for l in _LANG_MARKERS)},
+       {_LANG_PRED_SQL} AS lang_pred,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
        round(CAST(len(string_split(text, ' ')) AS DOUBLE) / (n_chars + 1.0), 6) AS token_ratio

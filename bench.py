@@ -42,6 +42,7 @@ HEADLINE = [
     "topk_per_group",
     "part_supplier_revenue",
     "anti_join",
+    "set_ops",
     "rollup_daily",
     "join_broadcast",
     "multi_join",

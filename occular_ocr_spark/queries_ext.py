@@ -514,6 +514,34 @@ GROUP BY l_returnflag
 # no queries() entry)
 # ---------------------------------------------------------------------------
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT and EXCEPT over customer keys vs order
+    placers, tagged and unioned into one result.
+
+    Scale: Spark plans both as hash aggregations over a single shuffle
+    per side (semi/anti equivalents) — no sort, no pairwise work;
+    the union of the two tagged branches adds no extra exchange.
+    """
+    c = _q._t(spark, sf_dir, "customer").select("c_custkey")
+    o = _q._t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = c.intersect(o).withColumn("tag", F.lit("has_orders"))
+    without = c.subtract(o).withColumn("tag", F.lit("no_orders"))
+    return with_orders.union(without).select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "tag"
+    )
+
+
+ORACLE_SET_OPS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'has_orders' AS tag
+FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'no_orders' AS tag
+FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing under the oracle gate: binary payloads ->
     :func:`functions.multimodal.resize_image` (mapInPandas; the
@@ -560,6 +588,7 @@ EXT_QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "cube_counts": q_cube_counts,
     "group_quantiles": q_group_quantiles,
+    "set_ops": q_set_ops,
 }
 
 EXT_ORACLES = {
@@ -572,6 +601,7 @@ EXT_ORACLES = {
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "cube_counts": ORACLE_CUBE_COUNTS,
     "group_quantiles": ORACLE_GROUP_QUANTILES,
+    "set_ops": ORACLE_SET_OPS,
 }
 
 _q.QUERIES.update(EXT_QUERIES)

@@ -116,3 +116,41 @@ def test_asof_join_single_shuffle_no_pair_explosion(spark):
     assert "Join" not in p
     assert n_nodes(p, "Exchange") == 1
     assert "Window" in p
+
+
+def test_kmeans_iteration_is_mapside_argmin_plus_partial_agg(spark):
+    # the per-iteration 100 TB contract: argmin inside the scan stage
+    # (ArrowEvalPython), means as a K-group partially-aggregated
+    # groupBy — no crossJoin row expansion, no per-vector window
+    p = plan_of(Q.QUERIES["kmeans_lloyd"](spark, SF_DIR))
+    assert n_nodes(p, "ArrowEvalPython") >= 1
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert n_nodes(p, "HashAggregate") >= 2  # partial + final means
+
+
+def test_dedup_groups_final_plan_is_checkpoint_scan(spark):
+    # per-round localCheckpoint must truncate lineage: the returned
+    # plan is a scan of the converged label map, not the unrolled
+    # join-per-round chain
+    p = plan_of(Q.QUERIES["dedup_groups"](spark, SF_DIR))
+    assert "Join" not in p
+    assert n_nodes(p, "Exchange") == 0
+
+
+def test_cube_counts_expands_mapside_single_exchange(spark):
+    # grouping sets run as map-side Expand + partial agg: the shuffle
+    # carries set-level partials only
+    p = plan_of(Q.QUERIES["cube_counts"](spark, SF_DIR))
+    assert n_nodes(p, "Expand") == 1
+    assert n_nodes(p, "Exchange") == 1
+
+
+def test_set_ops_never_pairwise(spark):
+    p = plan_of(Q.QUERIES["set_ops"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_resize_zero_exchanges(spark):
+    p = plan_of(Q.QUERIES["multimodal_resize"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 0

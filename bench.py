@@ -49,6 +49,8 @@ HEADLINE = [
     "groupby_agg",
     "cube_counts",
     "group_quantiles",
+    "distinct_agg",
+    "window_funcs",
     "explode_tokens",
     "text_assembly",
     "sessionize",
@@ -90,6 +92,7 @@ HEADLINE = [
     "streaming_turn_rate",
     "streaming_progress",
     "streaming_dedup",
+    "streaming_enrich",
 ]
 
 

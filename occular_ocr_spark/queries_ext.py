@@ -425,6 +425,50 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the transcript stream enriched against the
+    static documents dimension (doc_id -> lang), the standard
+    reference-data lookup of a live ingest pipeline.
+
+    Stateless and row-wise (no streaming state at all), so append mode
+    is batching-independent by construction; the static side is
+    re-planned per micro-batch, which at scale picks up dim-table
+    updates between batches.
+    """
+    from .streaming import read_transcript_stream
+
+    tmp, indir = _stage_stream_input(spark, sf_dir)
+    dim = _q._t(spark, sf_dir, "documents").select("doc_id", "lang")
+    doc_id = (
+        F.regexp_replace("conv_id", "^conv-", "").cast("bigint") * 10
+        + F.col("turn_idx")
+    ).cast("bigint")
+    name = "enrich_" + _mem_name(tmp)
+    q = (
+        read_transcript_stream(spark, indir)
+        .withColumn("doc_id", doc_id)
+        .join(dim, "doc_id")
+        .select("conv_id", "turn_idx", "lang")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+ORACLE_STREAMING_ENRICH = """
+SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+       CAST(doc_id % 10 AS INT) AS turn_idx,
+       lang
+FROM documents
+"""
+
+
 ORACLE_STREAMING_DEDUP = """
 SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
        CAST(doc_id % 10 AS INT) AS turn_idx,
@@ -514,6 +558,75 @@ GROUP BY l_returnflag
 # no queries() entry)
 # ---------------------------------------------------------------------------
 
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column DISTINCT aggregation: distinct parts and suppliers
+    per return flag alongside the plain row count.
+
+    Scale: Spark plans multi-distinct via Expand + two-phase
+    aggregation — each (group, value) pair deduplicates map-side
+    before the exchange, so the shuffle carries distinct pairs, not
+    rows.  For ultra-high-cardinality columns the production swap is
+    ``approx_count_distinct`` (HLL — mergeable, fixed-size sketches);
+    approximate answers have no SQL-equality oracle, so the exact form
+    is the verified entry.
+    """
+    li = _q._t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite over each customer's order sequence:
+    lag (previous price), row_number, ordered running sum, ntile
+    quartile — the remaining window families the catalog's other
+    entries don't exercise.
+
+    The running sum's FP order is the window order itself (both
+    engines accumulate over identically-ordered rows; o_orderkey
+    breaks date ties, so RANGE and ROWS frames coincide).
+
+    Scale: one exchange on o_custkey; all four functions share the
+    same window sort.
+    """
+    o = _q._t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_WINDOW_FUNCS = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       CAST(row_number() OVER w AS INT) AS seq,
+       round(sum(o_totalprice) OVER w, 4) AS running_total,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: INTERSECT and EXCEPT over customer keys vs order
     placers, tagged and unioned into one result.
@@ -585,10 +698,13 @@ EXT_QUERIES = {
     "streaming_turn_rate": q_streaming_turn_rate,
     "streaming_progress": q_streaming_progress,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_enrich": q_streaming_enrich,
     "multimodal_resize": q_multimodal_resize,
     "cube_counts": q_cube_counts,
     "group_quantiles": q_group_quantiles,
     "set_ops": q_set_ops,
+    "distinct_agg": q_distinct_agg,
+    "window_funcs": q_window_funcs,
 }
 
 EXT_ORACLES = {
@@ -598,10 +714,13 @@ EXT_ORACLES = {
     "streaming_turn_rate": ORACLE_STREAMING_TURN_RATE,
     "streaming_progress": ORACLE_STREAMING_PROGRESS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_enrich": ORACLE_STREAMING_ENRICH,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "cube_counts": ORACLE_CUBE_COUNTS,
     "group_quantiles": ORACLE_GROUP_QUANTILES,
     "set_ops": ORACLE_SET_OPS,
+    "distinct_agg": ORACLE_DISTINCT_AGG,
+    "window_funcs": ORACLE_WINDOW_FUNCS,
 }
 
 _q.QUERIES.update(EXT_QUERIES)

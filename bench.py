@@ -51,6 +51,7 @@ HEADLINE = [
     "group_quantiles",
     "distinct_agg",
     "window_funcs",
+    "json_roundtrip",
     "explode_tokens",
     "text_assembly",
     "sessionize",

@@ -558,6 +558,52 @@ GROUP BY l_returnflag
 # no queries() entry)
 # ---------------------------------------------------------------------------
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: serialize a nested struct + array to a
+    JSON string (``to_json``) and parse it back through a typed schema
+    (``from_json``), extracting nested fields and an array element.
+
+    The oracle computes the extracted values straight from the base
+    columns, so it verifies the whole serialize->parse->extract chain
+    preserves semantics.  Scale: both directions are JVM map-side
+    expressions (Jackson inside codegen) — zero shuffle; the typed
+    ``from_json`` schema is what keeps 100 TB of JSON scannable
+    without a schema-inference pass.
+    """
+    d = _q._t(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.struct(F.col("lang"), F.col("source").alias("src")).alias("meta"),
+            F.col("n_chars").alias("n_chars"),
+            F.slice(F.split("text", " "), 1, 3).alias("words"),
+        )
+    )
+    parsed = F.from_json(
+        payload,
+        "meta struct<lang: string, src: string>, n_chars bigint, "
+        "words array<string>",
+    )
+    return d.select(
+        "doc_id",
+        parsed["meta"]["lang"].alias("lang"),
+        parsed["meta"]["src"].alias("src"),
+        parsed["n_chars"].alias("n_chars"),
+        parsed["words"][1].alias("second_word"),
+        F.size(parsed["words"]).cast("int").alias("n_words_sampled"),
+    )
+
+
+ORACLE_JSON_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       lang,
+       source AS src,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       list_extract(string_split(text, ' '), 2) AS second_word,
+       CAST(least(len(string_split(text, ' ')), 3) AS INT) AS n_words_sampled
+FROM documents
+"""
+
+
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column DISTINCT aggregation: distinct parts and suppliers
     per return flag alongside the plain row count.
@@ -705,6 +751,7 @@ EXT_QUERIES = {
     "set_ops": q_set_ops,
     "distinct_agg": q_distinct_agg,
     "window_funcs": q_window_funcs,
+    "json_roundtrip": q_json_roundtrip,
 }
 
 EXT_ORACLES = {
@@ -721,6 +768,7 @@ EXT_ORACLES = {
     "set_ops": ORACLE_SET_OPS,
     "distinct_agg": ORACLE_DISTINCT_AGG,
     "window_funcs": ORACLE_WINDOW_FUNCS,
+    "json_roundtrip": ORACLE_JSON_ROUNDTRIP,
 }
 
 _q.QUERIES.update(EXT_QUERIES)

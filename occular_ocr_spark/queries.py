@@ -1136,7 +1136,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_ann_ivf_assign) is the pruned path.
     """
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    qrow = e.where(F.col("vec_id") == 0).first()
+    if qrow is None:  # empty corpus: no query vector, no matches
+        return spark.createDataFrame([], "vec_id bigint, cos_sim double")
+    qvec = [float(x) for x in qrow["embedding"]]
     return (
         e.where(F.col("vec_id") != 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -1507,10 +1510,12 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect()
-    qvec = [
-        float(x)
-        for x in e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    ]
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus: no query vector, no matches
+        return spark.createDataFrame(
+            [], "vec_id bigint, centroid_id bigint, cos_sim double"
+        )
+    qvec = [float(x) for x in qrow["embedding"]]
     # Left-to-right float accumulation — the same FP order as the SQL
     # twins' ordered unnest-sum, so probe ranking matches bit-for-bit.
     def _d2(c):
@@ -1603,11 +1608,19 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str, planes: int) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .collect()
     }
-    hmat = np.array(
-        [[a - b for a, b in zip(rows[p], rows[p + planes])] for p in range(planes)],
-        dtype="float64",
-    )
-    shifts = (1 << np.arange(planes, dtype="int64"))
+    if all(p in rows and p + planes in rows for p in range(planes)):
+        hmat = np.array(
+            [
+                [a - b for a, b in zip(rows[p], rows[p + planes])]
+                for p in range(planes)
+            ],
+            dtype="float64",
+        )
+    else:
+        # degenerate corpus (< 2*planes seed vectors): no hyperplanes,
+        # every vector lands in bucket 0
+        hmat = np.zeros((0, 1), dtype="float64")
+    shifts = (1 << np.arange(hmat.shape[0], dtype="int64"))
 
     def bucketize(batches):
         for pdf in batches:
@@ -1667,10 +1680,12 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "embeddings")
     buckets = _lsh_buckets(spark, sf_dir, _LSH_SEARCH_PLANES)
-    qvec = [
-        float(x)
-        for x in e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    ]
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus: no query vector, no matches
+        return spark.createDataFrame(
+            [], "vec_id bigint, bucket int, cos_sim double"
+        )
+    qvec = [float(x) for x in qrow["embedding"]]
     qb = buckets.where(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket")
     )

@@ -298,6 +298,10 @@ def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
     extract_stream(spark, indir, out, ckpt, available_now=True).awaitTermination()
+    if not os.path.isdir(out):  # empty source: no micro-batch committed
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, method string, extracted string"
+        )
     return spark.read.parquet(out).select(
         "conv_id", "turn_idx", "method", F.col("text").alias("extracted")
     )

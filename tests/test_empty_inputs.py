@@ -1,0 +1,81 @@
+"""Operator totality on EMPTY tables: every catalog entry must run and
+return zero rows (never raise) when pointed at an empty partition — the
+generalization of the reference's degenerate-input guards
+(tests/test_dbnet.py:38-45) to the relational surface.  A 100 TB job
+routinely plans over empty partitions/date-ranges; a driver-side
+``.first()`` crash there takes down the whole job."""
+
+import pytest
+
+SCHEMAS = {
+    "region": "r_regionkey long, r_name string, r_comment string",
+    "nation": "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    "customer": "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+                "c_mktsegment string",
+    "supplier": "s_suppkey long, s_name string, s_nationkey long",
+    "part": "p_partkey long, p_name string, p_type string, p_retailprice double",
+    "orders": "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date",
+    "lineitem": "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+                "l_quantity double, l_extendedprice double, l_discount double, "
+                "l_tax double, l_returnflag string, l_linestatus string, "
+                "l_shipdate date",
+    "events": "event_id long, user_id long, event_type string, ts timestamp, "
+              "amount double",
+    "documents": "doc_id long, text string, lang string, source string, n_chars long",
+    "embeddings": "vec_id long, embedding array<float>, label int",
+}
+
+# Entries whose very construction depends on a query row / seed rows; the
+# empty-input contract for them is "empty result", which the guards in
+# queries.py provide.  Streaming entries run real (empty) streaming jobs.
+REPRESENTATIVE = [
+    "scan_prune",
+    "groupby_agg",
+    "topk_per_group",
+    "window_funcs",
+    "distinct_agg",
+    "cube_counts",
+    "set_ops",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verify",
+    "dedup_groups",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "cosine_topk",
+    "ann_ivf_assign",
+    "ann_ivf_search",
+    "ann_lsh_buckets",
+    "ann_lsh_search",
+    "kmeans_lloyd",
+    "lang_quality",
+    "token_count",
+    "doc_fingerprint",
+    "json_roundtrip",
+    "tfidf_topk",
+    "extract_plain_docs",
+    "extract_transcripts",
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_resize",
+    "streaming_extract",
+    "streaming_turn_rate",
+    "streaming_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf-empty")
+    for name, schema in SCHEMAS.items():
+        spark.createDataFrame([], schema).write.parquet(str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_entry_is_total_on_empty_tables(spark, empty_sf_dir, name):
+    from occular_ocr_spark.queries import QUERIES
+
+    assert QUERIES[name](spark, empty_sf_dir).count() == 0

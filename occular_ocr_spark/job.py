@@ -90,6 +90,14 @@ def _plain_safe_predicate():
     Python ``str.strip`` exactly).  Any row that fails the test simply
     takes the Python path, where the authoritative dispatcher decides —
     a false negative costs a few µs, a false positive cannot happen.
+
+    The exclusion set is EVERY character CPython's ``str.strip()``
+    treats as whitespace (Unicode White_Space plus bidi classes B/S:
+    \\t \\x0B \\f \\r \\x1c-\\x1f \\x85 \\xa0 \\u1680 \\u2000-\\u200a
+    \\u2028 \\u2029 \\u202f \\u205f \\u3000) except space and \\n —
+    Spark's ``trim``/``ltrim`` strip only ASCII space, so any other
+    whitespace (e.g. an NBSP-prefixed payload) would make the Catalyst
+    path diverge from the kernel on offsets and kept lines.
     """
     t = F.col("text")
     return (
@@ -97,7 +105,10 @@ def _plain_safe_predicate():
         & ~t.contains("<")
         & ~t.contains("`")
         & ~t.contains("{")
-        & ~t.rlike("[\\t\\r\\x0B\\f]")
+        & ~t.rlike(
+            "[\\t\\x0B\\f\\r\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+            "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+        )
     )
 
 

@@ -73,7 +73,10 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-scale sum of 64-bit ids overflows a long).
     sum_expr = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(sum_expr).collect()[0][0]
-    for _ in range(_CC_MAX_ROUNDS):
+    converged = False
+    # +1: a diameter-_CC_MAX_ROUNDS component needs that many changing
+    # rounds plus one no-change round to CONFIRM the fixpoint
+    for _ in range(_CC_MAX_ROUNDS + 1):
         prop = labels.join(edges, labels.doc_id == edges.src).select(
             F.col("dst").alias("doc_id"), F.col("lbl")
         )
@@ -85,9 +88,22 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(sum_expr).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # A component with diameter > _CC_MAX_ROUNDS would silently get
+        # split labels; near-dup clusters are shallow, so exhausting the
+        # cap means the input is not what this operator is for — fail
+        # loudly rather than return wrong group_ids (ADVICE r2).  The
+        # production swap for deep components is the large-star/
+        # small-star variant (O(log n) rounds).
+        raise RuntimeError(
+            f"dedup_groups: min-label propagation did not converge in "
+            f"{_CC_MAX_ROUNDS} rounds (component diameter exceeds the cap); "
+            "use the large-star/small-star variant for deep components"
+        )
     return labels.select("doc_id", F.col("lbl").alias("group_id"))
 
 
@@ -187,8 +203,19 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.avg(F.get("emb", j)).alias(f"m{j}") for j in range(dim)]
         )
         if it < _KM_ITERS - 1:
+            # float32-quantize the means before feeding the next argmin:
+            # Spark's partial-agg avg sums in partition order while the
+            # oracle sums sequentially, so the raw doubles differ in the
+            # last few bits (~1e-13 relative) — far below float32 ulp
+            # (~1e-7), so the cast collapses both to the SAME value and
+            # iteration 2's input is bit-identical on both engines
+            # (mirrored by CAST(val AS REAL) in ORACLE_KMEANS_LLOYD c1;
+            # ADVICE r2: near-equidistant assignment flakiness).
             cents = sorted(
-                (int(r["centroid_id"]), [float(r[f"m{j}"]) for j in range(dim)])
+                (
+                    int(r["centroid_id"]),
+                    [float(np.float32(r[f"m{j}"])) for j in range(dim)],
+                )
                 for r in means.collect()
             )
     e.unpersist()
@@ -227,7 +254,8 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < {_q._IVF_K}),
 a1 AS ({_km_assign_sql('c0')}),
 m1 AS ({_km_means_sql('a1')}),
-c1 AS (SELECT cid, list(val ORDER BY dim_idx) AS cvec FROM m1 GROUP BY cid),
+c1 AS (SELECT cid, list(CAST(CAST(val AS REAL) AS DOUBLE) ORDER BY dim_idx)
+       AS cvec FROM m1 GROUP BY cid),
 a2 AS ({_km_assign_sql('c1')}),
 m2 AS ({_km_means_sql('a2')})
 SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(dim_idx AS INT) AS dim_idx,
@@ -299,12 +327,23 @@ def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(tmp, "ckpt")
     extract_stream(spark, indir, out, ckpt, available_now=True).awaitTermination()
     if not os.path.isdir(out):  # empty source: no micro-batch committed
+        shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(
             [], "conv_id string, turn_idx int, method string, extracted string"
         )
-    return spark.read.parquet(out).select(
-        "conv_id", "turn_idx", "method", F.col("text").alias("extracted")
+    # Materialize off the tmp files (eager localCheckpoint) so the
+    # staging dir can be removed before returning — the other streaming
+    # entries read from memory sinks and rmtree theirs; without this the
+    # parquet copy leaked per invocation (ADVICE r2).
+    res = (
+        spark.read.parquet(out)
+        .select(
+            "conv_id", "turn_idx", "method", F.col("text").alias("extracted")
+        )
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
 
 
 ORACLE_STREAMING_EXTRACT = """

@@ -66,6 +66,14 @@ class Registry:
 
     @classmethod
     def register(cls, name: str, strategy_class: Type) -> Type:
+        """Register ``strategy_class`` under ``name``.
+
+        Contract: the class must accept a ``force_ocr`` keyword in its
+        constructor (``job.extract_detailed`` always passes it — mirror
+        :class:`PlainOnlyExtractor` if the flag is meaningless for your
+        strategy), expose a ``version`` attribute for lineage, and an
+        ``extract(payload) -> (method, blocks, text)`` method.
+        """
         cls._strategies[name] = strategy_class
         return strategy_class
 
@@ -99,12 +107,19 @@ class Registry:
 
     @classmethod
     def resolve(cls, name: str, strategy_class: Type, **config) -> Any:
-        """Worker-side lookup: (re-)register ``strategy_class`` under
-        ``name`` if this Python worker hasn't seen it (strategies
-        registered dynamically on the driver travel with the closure via
-        cloudpickle), then return the cached instance."""
-        if name not in cls._strategies:
+        """Worker-side lookup: register ``strategy_class`` under
+        ``name`` and return the cached instance.
+
+        The closure-shipped class is AUTHORITATIVE: a reused executor
+        Python worker may hold a stale class from an earlier job under
+        the same name (the driver redefined the strategy), so the
+        binding is always overwritten and any cached instances of the
+        old class are dropped (ADVICE r2: stale code ran silently).
+        """
+        if cls._strategies.get(name) is not strategy_class:
             cls._strategies[name] = strategy_class
+            for key in [k for k in cls._cache if k[0] == name]:
+                del cls._cache[key]
         return cls.get(name, **config)
 
     @classmethod

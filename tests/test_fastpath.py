@@ -22,6 +22,14 @@ PROBES = [
     (6, "tab\there"),                               # exotic whitespace: Python path
     (7, "trailing newline\n"),
     (8, "json-ish but no brace blocks key at all"),
+    # Unicode whitespace Python strips but Spark trim does not — these
+    # MUST take the Python path (ADVICE r2: NBSP/\x1c divergence)
+    (9, "\xa0hello nbsp prefix"),
+    (10, "file sep\x1cinside"),
+    (11, "line sep here"),
+    (12, "ideographic　space"),
+    (13, "next line\x85char"),
+    (14, " thin space lead\nand a kept line"),
 ]
 
 
@@ -89,3 +97,23 @@ def test_fast_path_off_matches_on(spark):
         "conv_id", "turn_idx", "method", "text"
     )
     assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+
+def test_predicate_excludes_all_python_whitespace(spark):
+    """Every char CPython str.strip treats as whitespace (except space
+    and newline, which the Catalyst expression handles identically)
+    must fail the fast-path predicate — Spark trim strips only ASCII
+    space, so any of these on the JVM path would diverge from the
+    kernel (ADVICE r2, high)."""
+    from occular_ocr_spark.job import _plain_safe_predicate
+
+    py_ws = [
+        chr(c)
+        for c in range(0x10000)
+        if chr(c).strip() == "" and chr(c) not in (" ", "\n") and chr(c) != ""
+    ]
+    assert py_ws  # sanity: the probe set is non-empty
+    rows = [(str(i), i, f"x{ch}y") for i, ch in enumerate(py_ws)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    leaked = df.where(_plain_safe_predicate()).collect()
+    assert leaked == [], [hex(ord(py_ws[r["turn_idx"]])) for r in leaked]

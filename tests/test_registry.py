@@ -132,3 +132,35 @@ def test_pipeline_facade(spark):
     assert txt == ["conv_id", "turn_idx", "text"]
     conv = pipe.get_conversations(_turns(spark)).collect()
     assert len(conv) == 1 and conv[0]["n_turns"] == 3
+
+
+def test_resolve_overwrites_stale_class_and_cache():
+    """A redefined strategy class shipped under an existing name must
+    replace the stale binding AND its cached instances on a reused
+    worker (ADVICE r2: stale code ran silently)."""
+
+    class V1:
+        def __init__(self, force_ocr=False):
+            self.version = "v1"
+
+        def extract(self, payload):
+            return "plain", [], "v1"
+
+    class V2:
+        def __init__(self, force_ocr=False):
+            self.version = "v2"
+
+        def extract(self, payload):
+            return "plain", [], "v2"
+
+    try:
+        inst1 = Registry.resolve("test_redef", V1, force_ocr=False)
+        assert inst1.version == "v1"
+        inst2 = Registry.resolve("test_redef", V2, force_ocr=False)
+        assert inst2.version == "v2"  # not the stale cached V1
+        assert Registry.resolve_class("test_redef")[1] is V2
+        # same class again -> cache reuse, no churn
+        assert Registry.resolve("test_redef", V2, force_ocr=False) is inst2
+    finally:
+        Registry._strategies.pop("test_redef", None)
+        Registry.clear_cache()

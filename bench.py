@@ -55,6 +55,7 @@ HEADLINE = [
     "groupby_agg",
     "cube_counts",
     "group_quantiles",
+    "group_quantiles_approx",
     "distinct_agg",
     "window_funcs",
     "json_roundtrip",
@@ -71,6 +72,13 @@ HEADLINE = [
     "sample_stratified",
     "tfidf_topk",
     "doc_fingerprint",
+    "text_normalize",
+    "repetition_ratio",
+    "length_histogram",
+    "inverted_index",
+    "domain_mix_weights",
+    "decontaminate",
+    "approx_distinct",
     "dedup_exact",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -78,7 +86,10 @@ HEADLINE = [
     "dedup_minhash_verify",
     "dedup_ngram_jaccard",
     "dedup_embed_cosine",
+    "dedup_embed_cosine_mp",
     "dedup_groups",
+    "dedup_keep_canonical",
+    "cc_largestar",
     "cosine_topk",
     "ann_ivf_assign",
     "ann_ivf_search",

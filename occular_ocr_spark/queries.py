@@ -2610,3 +2610,4 @@ ORACLES: Dict[str, str] = {
 # self-register into QUERIES/ORACLES on import; queries_ext only touches
 # attributes defined above this line, so either import order works.
 from . import queries_ext as _queries_ext  # noqa: E402,F401
+from . import queries_pipeline as _queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,491 @@
+"""Training-data pipeline operators, round 3: the corpus-curation end
+of the engine — canonical dedup output, O(log n) connected components,
+decontamination, normalization, repetition/quality stats, index build,
+and mixture weighting.  Every entry follows the house contract: the
+Spark plan is the 100 TB design (partial aggregation, bounded keys,
+broadcast only for O(K) sides) and a DuckDB oracle replays the exact
+semantics for the value-hash gate.
+
+Self-registers into queries.QUERIES / queries.ORACLES on import (same
+pattern as queries_ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import queries as _q
+from . import queries_ext as _qe
+
+# ---------------------------------------------------------------------------
+# Dedup end product: keep one canonical doc per near-dup group
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action a dedup pipeline exists for: collapse each near-dup
+    group to its canonical member (the smallest doc_id — the group
+    label itself) and report how many duplicates it absorbed.
+
+    Builds on :func:`queries_ext.q_dedup_groups` (pairs -> connected
+    components); the reduction here is one partial-aggregated groupBy
+    over the (doc_id, group_id) labels — counts and the canonical id
+    shuffle as K-group partial sums, never the documents themselves.
+    At 100 TB the kept set then drives an Iceberg ``DELETE WHERE
+    doc_id NOT IN (kept)`` / filtered rewrite; this entry emits the
+    kept manifest (canonical doc_id + group size).
+    """
+    labels = _qe.q_dedup_groups(spark, sf_dir)
+    return (
+        labels.groupBy("group_id")
+        .agg(F.count("*").alias("group_size"))
+        .select(F.col("group_id").alias("doc_id"), "group_size")
+    )
+
+
+ORACLE_DEDUP_KEEP_CANONICAL = f"""
+WITH labels AS ({_qe.ORACLE_DEDUP_GROUPS})
+SELECT group_id AS doc_id, count(*) AS group_size
+FROM labels GROUP BY group_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star connected components: the O(log n) CC
+# ---------------------------------------------------------------------------
+
+_LSLS_MAX_ROUNDS = 20
+
+
+def q_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round production swap that ``dedup_groups``'s
+    min-label loop names for deep components.
+
+    Each round is TWO joins + partial-aggregated mins, no per-node
+    adjacency lists ever materialize (the star operations are expressed
+    as min-per-key joins, so a 10^8-degree hub node costs a groupBy
+    key, not a collect_list buffer):
+
+    * large-star: every neighbor v > u re-attaches to
+      m(u) = min(N(u) + u);
+    * small-star: every neighbor v <= u (and u itself) attaches to
+      m<=(u) = min of that closed lower neighborhood.
+
+    At the fixpoint every node is directly attached to its component
+    minimum; labels fall out as min(neighbor + self).  Convergence is
+    detected on a canonical-edge checksum and the round cap raises
+    loudly like the min-label twin — but at 2·log2(n) + slack rounds
+    the cap is structural, not data-dependent.  Oracle: the same
+    recursive-CTE reachability as ``dedup_groups`` (identical result).
+    """
+    pairs = _q.q_dedup_minhash_verify(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame):
+        # order-insensitive edge-set fingerprint: count + sum of a
+        # symmetric per-edge hash (decimal: no overflow at corpus scale)
+        return e.select(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64(F.least("u", "v"), F.greatest("u", "v")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+        ).collect()[0]
+
+    def _sym(e: DataFrame) -> DataFrame:
+        und = e.where(F.col("u") != F.col("v")).select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+        return und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    prev = _checksum(edges)
+    converged = False
+    for _ in range(_LSLS_MAX_ROUNDS):
+        # large-star: m(u) over the CLOSED neighborhood, re-attach v > u
+        m = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", F.col("u")).alias("m")
+        )
+        large = (
+            edges.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = _sym(large).localCheckpoint(eager=True)
+        # small-star: m over the closed LOWER neighborhood, attach all
+        low = edges.where(F.col("v") <= F.col("u"))
+        ms = low.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", F.col("u")).alias("m")
+        )
+        small = low.join(ms, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(ms.select(F.col("u"), F.col("m").alias("v")))
+        edges = _sym(small).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"cc_largestar: star rounds did not stabilize in "
+            f"{_LSLS_MAX_ROUNDS} iterations"
+        )
+    comp = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", F.col("u")).alias("group_id")
+    )
+    docs = _q._t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    return (
+        docs.join(comp, docs.doc_id == comp.u, "left")
+        .select(
+            "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
+        )
+    )
+
+
+ORACLE_CC_LARGESTAR = _qe.ORACLE_DEDUP_GROUPS
+
+
+# ---------------------------------------------------------------------------
+# Approx distinct under its error contract (same gate trick as
+# group_quantiles_approx: Spark computes the check, the oracle asserts it)
+# ---------------------------------------------------------------------------
+
+_ACD_RSD = 0.01
+_ACD_TOL = 5 * _ACD_RSD  # 5 standard deviations: a broken sketch, not noise
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts with the error contract as the
+    oracle surface: per return flag, ``approx_count_distinct`` of part
+    keys must land within 5·rsd of the exact distinct count, emitted as
+    a boolean.  The sketch is the ONLY distinct-count that survives
+    100 TB (mergeable fixed-size registers, partial aggregation,
+    order-independent); the exact count here exists to check it and is
+    itself a two-level aggregate, not a global distinct.
+    """
+    li = _q._t(spark, sf_dir, "lineitem")
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", _ACD_RSD).alias("n_approx")
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= _ACD_TOL * F.col("n_exact")
+        ).alias("approx_ok"),
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_exact,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text normalization: the canonical-form pass before dedup/tokenize
+# ---------------------------------------------------------------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form: lowercase, strip non-alphanumerics,
+    collapse whitespace runs, trim — the normalization every dedup and
+    tokenization pass keys on (exact-dup hashing over RAW text misses
+    case/punctuation variants).
+
+    Zero shuffle: three regexp/lower expressions inside one codegen
+    stage; the patterns are RE2-safe so the Spark (Java regex) and
+    DuckDB (RE2) replays agree.  Emits the normalized text plus its
+    token count so the gate pins both the string and its downstream
+    tokenization.
+    """
+    d = _q._t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_tokens_norm"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens_norm
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: benchmark n-gram overlap scan
+# ---------------------------------------------------------------------------
+
+_DECON_BENCH_DOCS = 10   # docs 0..9 stand in for the held-out eval set
+_DECON_MIN_OVERLAP = 1   # >= this many shared shingles flags a doc
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word
+    3-gram shingles with a held-out eval set (here: docs 0..9) — the
+    standard pre-training hygiene pass (eval n-grams must not leak
+    into the corpus).
+
+    The eval side is tiny by construction, so its distinct shingles
+    BROADCAST into the corpus-side scan: one map-side hash probe per
+    corpus shingle, one partial-aggregated count per flagged doc — no
+    corpus-side shuffle of unmatched shingles.  At real scale the
+    broadcast becomes a bloom filter push-down with an exact-recheck
+    join behind it; the plan shape is identical.
+    """
+    sh = _q._shingles(spark, sf_dir)
+    bench = (
+        sh.where(F.col("doc_id") < _DECON_BENCH_DOCS).select("sh").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") >= _DECON_BENCH_DOCS)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= _DECON_MIN_OVERLAP)
+    )
+
+
+_DECON_SHINGLES_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_extract(l, i) || ' ' || list_extract(l, i+1) || ' ' || list_extract(l, i+2) AS sh
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+        FROM toks WHERE len(l) >= 3))
+"""
+
+ORACLE_DECONTAMINATE = f"""
+WITH {_DECON_SHINGLES_SQL},
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < {_DECON_BENCH_DOCS})
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, count(*) AS n_overlap
+FROM sh s JOIN bench b ON s.sh = b.sh
+WHERE s.doc_id >= {_DECON_BENCH_DOCS}
+GROUP BY s.doc_id
+HAVING count(*) >= {_DECON_MIN_OVERLAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition: token repetition ratio
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition: 1 - distinct_tokens/total_tokens — the
+    boilerplate/looping-generation detector every quality filter runs.
+
+    One shuffle total, and it moves DOCUMENTS, not tokens: the compact
+    (doc_id, text) rows hash-partition by doc_id once, then the explode
+    and BOTH aggregation levels run co-located — hashpartitioning on
+    doc_id satisfies the (doc_id, tok) clustering too, so neither
+    groupBy adds an exchange.  The naive ordering (explode first,
+    groupBy(doc, tok), groupBy(doc)) pays two shuffles because the
+    (doc, tok) partitioning cannot serve the doc-level rollup.
+    """
+    toks = (
+        _q._t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count("*").alias("n_uniq"),
+        F.round(1.0 - F.count("*") / F.sum("c"), 6).alias("rep_ratio"),
+    )
+
+
+ORACLE_REPETITION_RATIO = """
+WITH per AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       sum(c) AS n_tok,
+       count(*) AS n_uniq,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS rep_ratio
+FROM per GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus shape: token-length histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKET = 16
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram (bucket width 16) — the corpus-shape
+    profile that sizes batching, truncation, and packing decisions.
+    Map-side bucket id -> one tiny partial-aggregated groupBy; the
+    whole corpus reduces to O(#buckets) rows."""
+    d = _q._t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        d.select((F.floor(n_tok / _HIST_BUCKET) * _HIST_BUCKET).alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = f"""
+SELECT CAST(floor(len(string_split(text, ' ')) / {_HIST_BUCKET}) * {_HIST_BUCKET}
+            AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (bounded-df tokens, scalar postings)
+# ---------------------------------------------------------------------------
+
+_IDX_DF_LO = 2
+_IDX_DF_HI = 50
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> ordered posting list, emitted as
+    (tok, pos, doc_id) scalars.  Stopword-frequency tokens are dropped
+    by the df band [2, 50] — the same hot-key discipline as the
+    dedup blocking joins (an unbounded posting for 'the' is a skew bomb
+    AND useless for retrieval).
+
+    One shuffle on tok with partial aggregation; the sorted list
+    materializes per token (bounded by df_hi), then explodes back to
+    scalars because array columns defeat order-insensitive comparators.
+    """
+    post = (
+        _q._t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs").between(_IDX_DF_LO, _IDX_DF_HI))
+    )
+    return post.select(
+        "tok", F.posexplode("docs").alias("pos", "doc_id")
+    ).select("tok", F.col("pos").cast("int").alias("pos"), "doc_id")
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+banded AS (
+  SELECT tok FROM dt GROUP BY tok
+  HAVING count(*) BETWEEN {_IDX_DF_LO} AND {_IDX_DF_HI})
+SELECT dt.tok,
+       CAST(row_number() OVER (PARTITION BY dt.tok ORDER BY dt.doc_id) - 1
+            AS INT) AS pos,
+       CAST(dt.doc_id AS BIGINT) AS doc_id
+FROM dt JOIN banded USING (tok)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weighting
+# ---------------------------------------------------------------------------
+
+
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus to a
+    uniform domain mixture: weight_s = (N / k) / n_s — the number every
+    data-mixing pipeline computes before writing its sampling plan.
+
+    The corpus reduces to k source-count rows map-side; the total and
+    source count ride a single-row broadcast join (no second scan, no
+    driver round-trip).
+    """
+    counts = (
+        _q._t(spark, sf_dir, "documents").groupBy("source").agg(
+            F.count("*").alias("n_docs")
+        )
+    )
+    totals = counts.groupBy().agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("k")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("total") / F.col("k") / F.col("n_docs"), 6).alias("weight"),
+    )
+
+
+ORACLE_DOMAIN_MIX_WEIGHTS = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT sum(n_docs) AS total, count(*) AS k FROM c)
+SELECT c.source, c.n_docs,
+       round(CAST(t.total AS DOUBLE) / t.k / c.n_docs, 6) AS weight
+FROM c, t
+"""
+
+
+PIPELINE_QUERIES = {
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "cc_largestar": q_cc_largestar,
+    "approx_distinct": q_approx_distinct,
+    "text_normalize": q_text_normalize,
+    "decontaminate": q_decontaminate,
+    "repetition_ratio": q_repetition_ratio,
+    "length_histogram": q_length_histogram,
+    "inverted_index": q_inverted_index,
+    "domain_mix_weights": q_domain_mix_weights,
+}
+
+PIPELINE_ORACLES = {
+    "dedup_keep_canonical": ORACLE_DEDUP_KEEP_CANONICAL,
+    "cc_largestar": ORACLE_CC_LARGESTAR,
+    "approx_distinct": ORACLE_APPROX_DISTINCT,
+    "text_normalize": ORACLE_TEXT_NORMALIZE,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "repetition_ratio": ORACLE_REPETITION_RATIO,
+    "length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "inverted_index": ORACLE_INVERTED_INDEX,
+    "domain_mix_weights": ORACLE_DOMAIN_MIX_WEIGHTS,
+}
+
+_q.QUERIES.update(PIPELINE_QUERIES)
+_q.ORACLES.update(PIPELINE_ORACLES)

@@ -57,3 +57,22 @@ def test_groups_close_transitively(spark, chain_sf_dir):
         for r in QUERIES["dedup_groups"](spark, chain_sf_dir).collect()
     }
     assert groups == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_largestar_matches_minlabel_on_chain(spark, chain_sf_dir):
+    """The O(log n) large-star/small-star CC must close the same chain
+    transitively and keep the singleton."""
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in QUERIES["cc_largestar"](spark, chain_sf_dir).collect()
+    }
+    assert groups == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_largestar_matches_minlabel_on_corpus(spark):
+    """Label-for-label agreement between the two CC implementations on
+    the real sf0.001 corpus — same edges, same components."""
+    sf = "/root/testdata/sf0.001"
+    ml = {r["doc_id"]: r["group_id"] for r in QUERIES["dedup_groups"](spark, sf).collect()}
+    ls = {r["doc_id"]: r["group_id"] for r in QUERIES["cc_largestar"](spark, sf).collect()}
+    assert ml == ls and len(ml) > 0

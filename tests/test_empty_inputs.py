@@ -36,14 +36,18 @@ REPRESENTATIVE = [
     "window_funcs",
     "distinct_agg",
     "cube_counts",
+    "group_quantiles_approx",
     "set_ops",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_verify",
     "dedup_groups",
+    "dedup_keep_canonical",
+    "cc_largestar",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embed_cosine",
+    "dedup_embed_cosine_mp",
     "cosine_topk",
     "ann_ivf_assign",
     "ann_ivf_search",
@@ -55,6 +59,13 @@ REPRESENTATIVE = [
     "doc_fingerprint",
     "json_roundtrip",
     "tfidf_topk",
+    "text_normalize",
+    "repetition_ratio",
+    "length_histogram",
+    "inverted_index",
+    "domain_mix_weights",
+    "decontaminate",
+    "approx_distinct",
     "extract_plain_docs",
     "extract_transcripts",
     "multimodal_meta",

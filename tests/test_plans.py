@@ -154,3 +154,71 @@ def test_set_ops_never_pairwise(spark):
 def test_multimodal_resize_zero_exchanges(spark):
     p = plan_of(Q.QUERIES["multimodal_resize"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") == 0
+
+
+def test_text_normalize_zero_exchanges(spark):
+    """Normalization is one codegen stage: no shuffle anywhere."""
+    p = plan_of(Q.QUERIES["text_normalize"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 0
+    assert "codegen id" in p  # the project runs inside whole-stage codegen
+
+
+def test_length_histogram_partial_agg_single_exchange(spark):
+    """Corpus reduces map-side to O(#buckets) partial rows."""
+    p = plan_of(Q.QUERIES["length_histogram"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "HashAggregate") == 2  # partial + final
+
+
+def test_repetition_ratio_single_exchange_two_level_agg(spark):
+    """(doc, tok) counts and the per-doc rollup share the doc_id key
+    prefix: one exchange feeds both aggregation levels."""
+    p = plan_of(Q.QUERIES["repetition_ratio"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    """The tiny eval shingle set broadcasts; the corpus is never
+    shuffled for the probe join."""
+    p = plan_of(Q.QUERIES["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_approx_distinct_uses_hll_partial_agg(spark):
+    p = plan_of(Q.QUERIES["approx_distinct"](spark, SF_DIR))
+    assert "approx_count_distinct" in p
+    assert "partial_approx_count_distinct" in p  # map-side sketch merge
+
+
+def test_group_quantiles_approx_partial_agg(spark):
+    """The summaries partially aggregate map-side — the property that
+    makes this the 100 TB quantile path (exact percentile cannot)."""
+    p = plan_of(Q.QUERIES["group_quantiles_approx"](spark, SF_DIR))
+    assert "partial_approx_percentile" in p
+
+
+def test_embed_cosine_mp_same_join_shape_as_single_probe(spark):
+    """Multi-probe keeps the sub-bucketed ShuffledHashJoin engine:
+    broadcast stays O(K dim), never the corpus side."""
+    p = plan_of(Q.QUERIES["dedup_embed_cosine_mp"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ann_ivf_assign_is_mapside_no_window_shuffle(spark):
+    """VERDICT r2 #2: assignment must be the numpy scan-stage argmin —
+    no n*K crossJoin expansion, no per-vector window exchange."""
+    p = plan_of(Q.QUERIES["ann_ivf_assign"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert n_nodes(p, "Window") == 0
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
+def test_inverted_index_single_token_shuffle(spark):
+    """distinct (doc, tok) and the posting build hash-partition on
+    compatible keys; no second full shuffle of the postings."""
+    p = plan_of(Q.QUERIES["inverted_index"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") <= 2  # (doc,tok) distinct + tok groupBy
+    assert n_nodes(p, "Sort") <= 1  # array_sort is an expression, not a node

@@ -79,6 +79,9 @@ HEADLINE = [
     "domain_mix_weights",
     "decontaminate",
     "approx_distinct",
+    "pack_sequences",
+    "event_funnel",
+    "curation_funnel",
     "dedup_exact",
     "dedup_simhash",
     "dedup_simhash_pairs",

@@ -12,7 +12,7 @@ pattern as queries_ext).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import queries as _q
 from . import queries_ext as _qe
@@ -463,6 +463,219 @@ FROM c, t
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk assignment via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256       # tokens per packed training sequence
+_PACK_BLOCK = 64      # docs per prefix-sum block
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    doc_id order and chunked into ``_PACK_CAP``-token windows; each doc
+    reports the bin its first token lands in and the offset there — the
+    assignment every LLM pre-training loader computes.
+
+    The global running token count is a DISTRIBUTED prefix sum, not a
+    single-partition window: docs group into ``_PACK_BLOCK``-sized
+    blocks; per-block totals reduce map-side to #blocks rows whose tiny
+    cumulative window runs once; each doc then adds its within-block
+    exclusive running sum (window partitioned BY BLOCK — bounded
+    partitions, full parallelism) to its block's prefix.  A naive
+    ``Window.orderBy(doc_id)`` with no partition key serializes the
+    entire corpus through ONE task; this two-level shape is the
+    standard scan-order prefix-sum and recurses if #blocks ever
+    outgrows one partition.  Integer arithmetic end-to-end — both
+    engines agree exactly.
+    """
+    d = _q._t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.floor(F.col("doc_id") / _PACK_BLOCK).cast("bigint").alias("blk"),
+    )
+    blocks = d.groupBy("blk").agg(F.sum("n_tok").alias("blk_tok"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blocks.select(
+        "blk", F.coalesce(F.sum("blk_tok").over(wb), F.lit(0)).alias("blk_prefix")
+    )
+    wd = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("in_blk", F.coalesce(F.sum("n_tok").over(wd), F.lit(0)))
+        .join(F.broadcast(prefix), "blk")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor((F.col("blk_prefix") + F.col("in_blk")) / _PACK_CAP)
+            .cast("bigint")
+            .alias("bin_id"),
+            ((F.col("blk_prefix") + F.col("in_blk")) % _PACK_CAP)
+            .cast("bigint")
+            .alias("bin_offset"),
+        )
+    )
+
+
+# The oracle states the SEMANTICS directly (one global ordered running
+# sum); the Spark side's block decomposition must reproduce it exactly.
+ORACLE_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM d)
+SELECT doc_id, n_tok,
+       start // {_PACK_CAP} AS bin_id,
+       start % {_PACK_CAP} AS bin_offset
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered-step event funnel
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: users who
+    viewed, then clicked AFTER their first view, then purchased AFTER
+    that click — order-sensitive step matching (a purchase before the
+    first view does not count), the analytics shape sessionization
+    feeds.
+
+    Each step is one filtered partial-aggregated groupBy(user) + a join
+    against the previous step's first-timestamp — three user-keyed
+    shuffles that all hash-partition on the same key, no windows over
+    event time, nothing proportional to the event count after the first
+    aggregate.  Timestamps stay internal (epoch comparisons); the
+    output is step -> user count.
+    """
+    e = _q._t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.select(F.lit("1_view").alias("step"))
+        .union(c.select(F.lit("2_click_after_view")))
+        .union(p.select(F.lit("3_purchase_after_click")))
+        .groupBy("step")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT step, count(*) AS n_users FROM (
+  SELECT '1_view' AS step FROM v
+  UNION ALL SELECT '2_click_after_view' FROM c
+  UNION ALL SELECT '3_purchase_after_click' FROM p)
+GROUP BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: staged filter survival counts
+# ---------------------------------------------------------------------------
+
+_CUR_MIN_TOK = 32
+_CUR_MAX_REP = 0.2
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's control report: how many documents
+    survive each successive gate — length, repetition, exact dedup —
+    cumulatively applied in order (each stage filters the previous
+    stage's survivors).
+
+    One pass over the corpus computes all per-doc flags (the
+    repetition join reuses :func:`q_repetition_ratio`'s single-shuffle
+    shape; the exact-dup keeper is a first-per-digest window over
+    md5(text)); the funnel itself is four conditional sums in one
+    final aggregate — no per-stage rescan of the corpus.
+    """
+    d = _q._t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok"), "text"
+    )
+    rep = q_repetition_ratio(spark, sf_dir).select("doc_id", "rep_ratio")
+    wdig = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = (
+        d.join(rep, "doc_id")
+        .withColumn("first_of_digest", F.row_number().over(wdig) == 1)
+        .select(
+            (F.col("n_tok") >= _CUR_MIN_TOK).alias("f1"),
+            "rep_ratio",
+            "first_of_digest",
+        )
+        .withColumn("f2", F.col("f1") & (F.col("rep_ratio") <= _CUR_MAX_REP))
+        .withColumn("f3", F.col("f2") & F.col("first_of_digest"))
+    )
+    agg = flagged.agg(
+        F.count("*").alias("c0"),
+        F.sum(F.col("f1").cast("long")).alias("c1"),
+        F.sum(F.col("f2").cast("long")).alias("c2"),
+        F.sum(F.col("f3").cast("long")).alias("c3"),
+    )
+    return agg.selectExpr(
+        "stack(4, '0_total', c0, '1_min_length', c1, "
+        "'2_low_repetition', c2, '3_exact_dedup', c3) AS (stage, n_docs)"
+    )
+
+
+ORACLE_CURATION_FUNNEL = f"""
+WITH rep AS (
+  SELECT doc_id, round(1.0 - CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+         AS rep_ratio
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id),
+flags AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) >= {_CUR_MIN_TOK} AS f1,
+         r.rep_ratio <= {_CUR_MAX_REP} AS fr,
+         row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1
+           AS fd
+  FROM documents d JOIN rep r ON r.doc_id = d.doc_id)
+SELECT stage, n_docs FROM (
+  SELECT '0_total' AS stage, count(*) AS n_docs FROM flags
+  UNION ALL SELECT '1_min_length', count(*) FILTER (WHERE f1) FROM flags
+  UNION ALL SELECT '2_low_repetition', count(*) FILTER (WHERE f1 AND fr)
+    FROM flags
+  UNION ALL SELECT '3_exact_dedup', count(*) FILTER (WHERE f1 AND fr AND fd)
+    FROM flags)
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "cc_largestar": q_cc_largestar,
@@ -473,6 +686,9 @@ PIPELINE_QUERIES = {
     "length_histogram": q_length_histogram,
     "inverted_index": q_inverted_index,
     "domain_mix_weights": q_domain_mix_weights,
+    "pack_sequences": q_pack_sequences,
+    "event_funnel": q_event_funnel,
+    "curation_funnel": q_curation_funnel,
 }
 
 PIPELINE_ORACLES = {
@@ -485,6 +701,9 @@ PIPELINE_ORACLES = {
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "inverted_index": ORACLE_INVERTED_INDEX,
     "domain_mix_weights": ORACLE_DOMAIN_MIX_WEIGHTS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
+    "curation_funnel": ORACLE_CURATION_FUNNEL,
 }
 
 _q.QUERIES.update(PIPELINE_QUERIES)

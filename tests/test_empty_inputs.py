@@ -66,6 +66,8 @@ REPRESENTATIVE = [
     "domain_mix_weights",
     "decontaminate",
     "approx_distinct",
+    "pack_sequences",
+    "event_funnel",
     "extract_plain_docs",
     "extract_transcripts",
     "multimodal_meta",

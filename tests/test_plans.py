@@ -222,3 +222,20 @@ def test_inverted_index_single_token_shuffle(spark):
     p = plan_of(Q.QUERIES["inverted_index"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") <= 2  # (doc,tok) distinct + tok groupBy
     assert n_nodes(p, "Sort") <= 1  # array_sort is an expression, not a node
+
+
+def test_pack_sequences_no_global_single_partition_window(spark):
+    """The prefix sum must be the two-level block decomposition: the
+    ONLY single-partition exchange is the tiny #blocks cumulative
+    window; the per-doc window is hash-partitioned by block."""
+    p = plan_of(Q.QUERIES["pack_sequences"](spark, SF_DIR))
+    assert p.count("SinglePartition") == 1  # only the #blocks cumsum
+    assert "hashpartitioning(blk" in p
+
+
+def test_event_funnel_all_user_keyed_no_windows(spark):
+    """Step matching is min-aggregates + joins on user_id — no event-
+    time windows, no cartesian step pairing."""
+    p = plan_of(Q.QUERIES["event_funnel"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 0
+    assert "CartesianProduct" not in p

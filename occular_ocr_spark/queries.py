@@ -2611,3 +2611,4 @@ ORACLES: Dict[str, str] = {
 # attributes defined above this line, so either import order works.
 from . import queries_ext as _queries_ext  # noqa: E402,F401
 from . import queries_pipeline as _queries_pipeline  # noqa: E402,F401
+from . import queries_scale as _queries_scale  # noqa: E402,F401

@@ -1,0 +1,577 @@
+"""Scale-operations catalog, round 3 (session 2): the operational end
+of running the extraction engine as a production service — explicit
+skew-salted joins, the SQL-function surface, incremental (checkpoint-
+resume) processing, snapshot diffing, data-quality gates, rolling
+time-range windows, collocation mining, and int8 embedding
+quantization.
+
+House contract throughout: the Spark plan is the 100 TB design and a
+DuckDB oracle replays the exact semantics for the value-hash gate.
+Self-registers into queries.QUERIES / queries.ORACLES on import (same
+pattern as queries_ext / queries_pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _register_views, _t
+
+# ---------------------------------------------------------------------------
+# Explicit skew-salted join
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 8
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join with EXPLICIT salt decomposition — the manual
+    fallback for the case AQE's skew-join split cannot reach (e.g. a
+    shuffle consumed by a stateful op, or a dim too large to broadcast
+    but with a handful of pathological fact keys).
+
+    Mechanics: every fact row gets a deterministic salt in
+    [0, _SALT_BUCKETS); the dim side is exploded ×_SALT_BUCKETS so
+    each (key, salt) fact partition finds its dim row locally.  A hot
+    fact key thus spreads over _SALT_BUCKETS reducers instead of one.
+    The dim explosion costs |dim|×S rows — bounded, chosen so
+    |dim|×S ≪ |fact|.  The broadcast path is explicitly disabled via
+    a shuffle-hash hint so the test exercises the salted exchange (at
+    100 TB orders is not broadcastable anyway).
+
+    Reference parity: same salting idea the extraction fan-out applies
+    to mega-conversations (job.py repartition salt, SURVEY §2 P1),
+    here as a standalone relational operator.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    fact = li.withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_BUCKETS)).cast("int")
+    )
+    dim = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("rev"), 4).alias("revenue"),
+    )
+
+
+ORACLE_SKEW_JOIN_SALTED = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL function surface: the extraction kernel as a registered UDF
+# ---------------------------------------------------------------------------
+
+
+def q_sql_udf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction kernel exposed on the SQL surface: registered as
+    a pandas UDF (`occular_extract`) and invoked from `spark.sql` —
+    the path a SQL-only consumer (BI tool, notebook, dbt model) uses
+    without touching the DataFrame API.
+
+    The Arrow-batched UDF wraps the same
+    :func:`extraction.core.extract_turn` kernel the mapInArrow job
+    path runs, so SQL and DataFrame surfaces cannot drift.  Scale: one
+    Arrow exchange per batch, no per-row Python at the plan level; for
+    the heavy path prefer `job.extract_detailed` (adds salting,
+    lineage, dual-path fast lane) — this entry pins the *API surface*,
+    not a second engine.
+
+    Reference parity: the reference exposes `extract_text` as a plain
+    function call (reference api.py simple surface); SQL registration
+    is its Spark-native equivalent.
+    """
+    from .extraction.core import extract_turn
+
+    @F.pandas_udf("string")
+    def occular_extract(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: extract_turn(t)["text"])
+
+    spark.udf.register("occular_extract", occular_extract)
+    _register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        "SELECT doc_id, occular_extract(text) AS extracted FROM documents"
+    )
+
+
+# documents payloads are plain single-line ASCII -> the kernel's plain
+# branch: trimmed content (same contract as ORACLE_EXTRACT_PLAIN_DOCS).
+ORACLE_SQL_UDF_EXTRACT = """
+SELECT doc_id, trim(text) AS extracted FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental (checkpoint-resume) extraction
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental run: extract ONLY rows not present in the processed
+    manifest — the row-level resume shape behind the north rule's
+    "any failed range resumes idempotently".
+
+    The manifest here is a deterministic 80% subset of doc_ids
+    (doc_id % 5 != 3) standing in for the lineage log the sink writes
+    (sink.py partition ranges); the new-work set is a left_anti join
+    against it, then the real extraction path runs on the remainder
+    only.  Scale: the anti-join shuffles manifest-vs-snapshot on
+    doc_id once; in production the first-stage filter is
+    PARTITION-level (snapshot-id ranges from Iceberg metadata — no
+    shuffle at all) and this row-level anti-join is the fine-grained
+    second stage within touched partitions.
+    """
+    from .job import extract_detailed
+
+    d = _t(spark, sf_dir, "documents")
+    manifest = d.where(F.col("doc_id") % 5 != 3).select(
+        F.col("doc_id").alias("done_id")
+    )
+    todo = d.join(manifest, d.doc_id == manifest.done_id, "left_anti")
+    turns = todo.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    ext = extract_detailed(turns)
+    return ext.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("text").alias("extracted"),
+    )
+
+
+ORACLE_INCREMENTAL_EXTRACT = """
+SELECT doc_id, trim(text) AS extracted
+FROM documents WHERE doc_id % 5 = 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two corpus versions)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection between two corpus snapshots: classify every
+    doc_id as added / removed / changed / unchanged and count each
+    class — the audit step before an incremental re-extraction decides
+    what to touch.
+
+    Snapshot B is derived deterministically from A (documents):
+    doc_id % 97 == 0 rows dropped (removed), doc_id % 13 == 0 rows
+    uppercased (changed), and a shifted copy of doc_id % 89 == 0 rows
+    appended (added).  Comparison is md5-digest-based so the join
+    carries (id, 32-byte digest), never the payloads — at 100 TB the
+    diff input is ~1/1000th of the corpus bytes.  One full-outer
+    shuffle join on doc_id, then a K-row aggregate.
+    """
+    a = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("dig_a")
+    )
+    base = _t(spark, sf_dir, "documents")
+    b = (
+        base.where(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 13 == 0, F.upper(F.col("text"))).otherwise(
+                    F.col("text")
+                )
+            ).alias("dig_b"),
+        )
+        .unionAll(
+            base.where(F.col("doc_id") % 89 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.md5(F.col("text")).alias("dig_b"),
+            )
+        )
+    )
+    diff = a.join(b, "doc_id", "full_outer").select(
+        F.when(F.col("dig_a").isNull(), F.lit("added"))
+        .when(F.col("dig_b").isNull(), F.lit("removed"))
+        .when(F.col("dig_a") != F.col("dig_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type")
+    )
+    return diff.groupBy("change_type").agg(F.count("*").alias("n_docs"))
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH a AS (SELECT doc_id, md5(text) AS dig_a FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS dig_b
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, md5(text) AS dig_b
+  FROM documents WHERE doc_id % 89 = 0),
+diff AS (
+  SELECT CASE WHEN a.dig_a IS NULL THEN 'added'
+              WHEN b.dig_b IS NULL THEN 'removed'
+              WHEN a.dig_a <> b.dig_b THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM a FULL OUTER JOIN b USING (doc_id))
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs
+FROM diff GROUP BY change_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint gate
+# ---------------------------------------------------------------------------
+
+
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style constraint validation: referential integrity,
+    range, uniqueness, and non-null checks, each reduced to a
+    (check_name, violations, passed) row — the gate a pipeline run
+    consults before promoting a snapshot.
+
+    Scale: every check is one scan + partial-aggregated count; the FK
+    check is a shuffle anti-join (at 100 TB neither side broadcasts).
+    All checks share nothing, so Spark schedules the five branches of
+    the union concurrently; per-table checks could further share one
+    scan via a single multi-aggregate pass (documented trade: clarity
+    per check vs one fused scan).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orders_fk_customer").alias("check_name"), "violations")
+    )
+    qty = (
+        li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("lineitem_qty_range").alias("check_name"), "violations")
+    )
+    uniq = d.agg(
+        (F.count("*") - F.countDistinct("doc_id")).alias("violations")
+    ).select(F.lit("documents_id_unique").alias("check_name"), "violations")
+    nn_text = (
+        d.where(F.col("text").isNull() | (F.length("text") == 0))
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("documents_text_nonempty").alias("check_name"), "violations")
+    )
+    nn_ts = (
+        ev.where(F.col("ts").isNull())
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("events_ts_nonnull").alias("check_name"), "violations")
+    )
+    return (
+        fk.unionAll(qty).unionAll(uniq).unionAll(nn_text).unionAll(nn_ts)
+        .select("check_name", "violations", (F.col("violations") == 0).alias("passed"))
+    )
+
+
+ORACLE_DATA_QUALITY_CHECKS = """
+WITH checks AS (
+  SELECT 'orders_fk_customer' AS check_name,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS violations
+  UNION ALL
+  SELECT 'lineitem_qty_range',
+         (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+  UNION ALL
+  SELECT 'documents_id_unique',
+         (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+  UNION ALL
+  SELECT 'documents_text_nonempty',
+         (SELECT count(*) FROM documents
+          WHERE text IS NULL OR length(text) = 0)
+  UNION ALL
+  SELECT 'events_ts_nonnull',
+         (SELECT count(*) FROM events WHERE ts IS NULL))
+SELECT check_name, CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM checks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-range window
+# ---------------------------------------------------------------------------
+
+_ROLL_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-7-day statistics over its event_type: a
+    RANGE window frame keyed on event time — the moving-aggregate
+    shape behind rate limiting, anomaly baselines, and trend features.
+
+    Time is carried as exact epoch microseconds (unix_micros /
+    epoch_us on the oracle side) so frame-boundary comparisons are
+    integer-exact on both engines; emitted stats are order-independent
+    (count, max) so partial evaluation order cannot perturb the hash.
+    Scale: one exchange on event_type + an in-partition range frame;
+    a skewed event_type would be pre-split by (type, time-bucket)
+    two-level aggregation — here types are near-uniform.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # parquet ts is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
+        # UTC) to exact epoch µs — same convention as sessionize's epoch
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLL_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.max("value").over(w), 6).alias("max_7d"),
+    )
+
+
+ORACLE_ROLLING_WINDOW = f"""
+SELECT event_id, event_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       round(max(value) OVER w, 6) AS max_7d
+FROM (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+             RANGE BETWEEN {_ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs over the corpus — the classic phrase-detection pass a
+    tokenizer-training / n-gram-LM pipeline runs.
+
+    Bigrams are built IN-ARRAY (transform over the token array) so the
+    pair construction is map-side with no per-token window shuffle;
+    only the (bigram, count) and (token, count) partial aggregates
+    shuffle — vocabulary-sized, not corpus-sized.  PMI joins the
+    bigram counts to the two unigram count tables on their words; the
+    corpus token total rides a 1-row broadcast.  Counts are exact
+    integers; PMI is rounded to 4 dp (both engines compute
+    ln(c_xy·N/(c_x·c_y)) on identical exact-integer-derived doubles).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i]))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    total = uni.agg(F.sum("c_w").alias("n_tok"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
+    parts = big.select(
+        F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2"), "c_xy"
+    )
+    return (
+        parts.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n_tok")
+                    / (F.col("c_x").cast("double") * F.col("c_y"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+ORACLE_BIGRAM_PMI = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents),
+uni AS (SELECT w, count(*) AS c_w FROM toks WHERE w <> '' GROUP BY w),
+pairs AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks),
+big AS (
+  SELECT w1, w2, count(*) AS c_xy FROM pairs
+  WHERE w2 IS NOT NULL GROUP BY w1, w2
+  HAVING count(*) >= {_PMI_MIN_COUNT}),
+total AS (SELECT sum(c_w) AS n_tok FROM uni)
+SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+       CAST(u1.c_w AS BIGINT) AS c_x, CAST(u2.c_w AS BIGINT) AS c_y,
+       round(ln(CAST(b.c_xy AS DOUBLE) * t.n_tok
+                / (CAST(u1.c_w AS DOUBLE) * u2.c_w)), 4) AS pmi
+FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w, total t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def _int8_quantize_scorer(qq: np.ndarray):
+    """mapInPandas scorer: symmetric per-vector int8 quantization +
+    integer dot product against the (pre-quantized) query vector.
+
+    All arithmetic is exact: quantized codes are integer-valued
+    doubles in [-127, 127], so the dim-64 dot product (≤ ~10^6) is
+    exact in float64 regardless of summation order — no FP-order
+    contract needed, unlike the cosine kernels.
+    """
+
+    def score(batches):
+        for pdf in batches:
+            out_ids, out_dots, out_scales = [], [], []
+            for vid, emb in zip(pdf["vec_id"], pdf["emb"]):
+                v = np.asarray(emb, dtype=np.float64)
+                s = float(np.max(np.abs(v))) if v.size else 0.0
+                if s == 0.0:
+                    qv = np.zeros_like(v)
+                else:
+                    qv = np.floor(v * 127.0 / s + 0.5)
+                out_ids.append(vid)
+                out_dots.append(int((qv * qq).sum()))
+                out_scales.append(round(s, 6))
+            yield pd.DataFrame(
+                {"vec_id": out_ids, "qdot": out_dots, "scale": out_scales}
+            )
+
+    return score
+
+
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus + integer
+    dot-product scoring against a quantized query — the 4× memory /
+    bandwidth reduction that makes a 100 TB ANN index fit its
+    executors (SQ8 in FAISS terms; here from-scratch, no library).
+
+    Per vector: scale = max|x|/127, code_i = floor(x_i·127/max|x| +
+    0.5) — everything derived from exact float64 ops both engines
+    perform identically, so the oracle replays quantization
+    bit-for-bit (no tolerance contract needed; see scorer docstring).
+    Scale: map-side only (one Arrow pass, query codes ride the
+    closure); the scored stream would feed TakeOrdered for top-k —
+    emitted whole here so the gate hashes every code row.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.where(F.col("vec_id") == 0).head(1)
+    if not qrow:
+        return spark.createDataFrame(
+            [], "vec_id bigint, qdot bigint, scale double"
+        )
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    qs = float(np.max(np.abs(qv))) if qv.size else 0.0
+    qq = np.zeros_like(qv) if qs == 0.0 else np.floor(qv * 127.0 / qs + 0.5)
+    return (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .mapInPandas(
+            _int8_quantize_scorer(qq), "vec_id bigint, qdot bigint, scale double"
+        )
+    )
+
+
+ORACLE_EMBED_QUANTIZE_INT8 = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT qe, list_max(list_transform(qe, y -> abs(y))) AS s FROM q),
+qq AS (
+  SELECT CASE WHEN s = 0 THEN list_transform(qe, x -> 0.0)
+              ELSE list_transform(qe, x -> floor(x * 127 / s + 0.5)) END AS qv
+  FROM qs),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) AS s
+  FROM embeddings WHERE vec_id <> 0),
+vq AS (
+  SELECT vec_id, s,
+         CASE WHEN s = 0 THEN list_transform(ve, x -> 0.0)
+              ELSE list_transform(ve, x -> floor(x * 127 / s + 0.5)) END AS qv
+  FROM v)
+SELECT vq.vec_id,
+       CAST((SELECT sum(a * b)
+             FROM (SELECT unnest(vq.qv) AS a, unnest(qq.qv) AS b)) AS BIGINT)
+         AS qdot,
+       round(vq.s, 6) AS scale
+FROM vq, qq
+"""
+
+
+SCALE_QUERIES = {
+    "skew_join_salted": q_skew_join_salted,
+    "sql_udf_extract": q_sql_udf_extract,
+    "incremental_extract": q_incremental_extract,
+    "snapshot_diff": q_snapshot_diff,
+    "data_quality_checks": q_data_quality_checks,
+    "rolling_window": q_rolling_window,
+    "bigram_pmi": q_bigram_pmi,
+    "embed_quantize_int8": q_embed_quantize_int8,
+}
+
+SCALE_ORACLES = {
+    "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
+    "sql_udf_extract": ORACLE_SQL_UDF_EXTRACT,
+    "incremental_extract": ORACLE_INCREMENTAL_EXTRACT,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "data_quality_checks": ORACLE_DATA_QUALITY_CHECKS,
+    "rolling_window": ORACLE_ROLLING_WINDOW,
+    "bigram_pmi": ORACLE_BIGRAM_PMI,
+    "embed_quantize_int8": ORACLE_EMBED_QUANTIZE_INT8,
+}
+
+_q.QUERIES.update(SCALE_QUERIES)
+_q.ORACLES.update(SCALE_ORACLES)

@@ -20,8 +20,8 @@ SCHEMAS = {
                 "l_quantity double, l_extendedprice double, l_discount double, "
                 "l_tax double, l_returnflag string, l_linestatus string, "
                 "l_shipdate date",
-    "events": "event_id long, user_id long, event_type string, ts timestamp, "
-              "amount double",
+    "events": "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
     "documents": "doc_id long, text string, lang string, source string, n_chars long",
     "embeddings": "vec_id long, embedding array<float>, label int",
 }
@@ -76,6 +76,13 @@ REPRESENTATIVE = [
     "streaming_extract",
     "streaming_turn_rate",
     "streaming_dedup",
+    "skew_join_salted",
+    "sql_udf_extract",
+    "incremental_extract",
+    "snapshot_diff",
+    "rolling_window",
+    "bigram_pmi",
+    "embed_quantize_int8",
 ]
 
 

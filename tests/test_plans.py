@@ -239,3 +239,69 @@ def test_event_funnel_all_user_keyed_no_windows(spark):
     p = plan_of(Q.QUERIES["event_funnel"](spark, SF_DIR))
     assert n_nodes(p, "Window") == 0
     assert "CartesianProduct" not in p
+
+
+def test_skew_join_salted_is_shuffled_hash_on_salted_key(spark):
+    """The salt must actually reach the join: a shuffled (hash) join on
+    the composite (key, salt) — not a broadcast that would make the
+    salting a no-op — and no cartesian fallback."""
+    p = plan_of(Q.QUERIES["skew_join_salted"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+    # join keys include the salt column on both sides
+    left_keys = re.search(r"Left keys \[\d+\]: \[[^\]]*\]", p).group(0)
+    assert "salt" in left_keys
+
+
+def test_sql_udf_extract_is_arrow_batched(spark):
+    """The SQL-registered kernel runs as ONE Arrow-batched python eval
+    (pandas UDF), not row-at-a-time BatchEvalPython."""
+    p = plan_of(Q.QUERIES["sql_udf_extract"](spark, SF_DIR))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_incremental_extract_anti_join_before_extraction(spark):
+    """The manifest filter is an anti-join upstream of the Arrow
+    extraction stage: only the to-do remainder pays the Python pass."""
+    p = plan_of(Q.QUERIES["incremental_extract"](spark, SF_DIR))
+    assert "LeftAnti" in p
+    # extraction stage present (mapInArrow/mapInPandas node)
+    assert "MapInArrow" in p or "MapInPandas" in p or "ArrowEvalPython" in p
+
+
+def test_snapshot_diff_joins_digests_not_payloads(spark):
+    """The full-outer join carries (doc_id, md5) only — text is pruned
+    out before the exchange."""
+    p = plan_of(Q.QUERIES["snapshot_diff"](spark, SF_DIR))
+    assert "FullOuter" in p or "full_outer" in p
+    # every exchange in the diff carries digests, not raw text
+    for chunk in re.findall(r"Arguments: hashpartitioning\([^\n]*", p):
+        assert "text" not in chunk
+
+
+def test_rolling_window_single_exchange_on_event_type(spark):
+    """One hash exchange on the window partition key; the range frame
+    itself is in-partition."""
+    p = plan_of(Q.QUERIES["rolling_window"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(event_type" in p
+
+
+def test_bigram_pmi_in_array_bigrams_no_window(spark):
+    """Bigrams are built in-array map-side: no per-token window shuffle;
+    only vocabulary-sized aggregates and their joins exchange."""
+    p = plan_of(Q.QUERIES["bigram_pmi"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 0
+    assert "CartesianProduct" not in p
+    # the 1-row total rides a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_embed_quantize_int8_is_mapside_only(spark):
+    """Quantization + integer dot product are one Arrow pass over the
+    scan: zero exchanges anywhere."""
+    p = plan_of(Q.QUERIES["embed_quantize_int8"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 0
+    assert "MapInPandas" in p

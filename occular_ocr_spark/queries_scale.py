@@ -325,32 +325,52 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE window frame keyed on event time — the moving-aggregate
     shape behind rate limiting, anomaly baselines, and trend features.
 
+    Scale design — bounded-overlap bucket decomposition: a naive
+    ``partitionBy(event_type)`` window caps parallelism at #types and
+    buffers a type's whole history on one executor.  Instead each row
+    is assigned to its 7-day time bucket AND a context-only copy in
+    the NEXT bucket (one in-array explode, same scan); since the
+    bucket length equals the window length, every trailing frame is
+    fully contained in (own bucket ∪ previous bucket's context
+    copies), so the range frame runs per (event_type, bucket) —
+    parallelism grows with the time span, partition state is bounded
+    by one bucket's rows ×2 — and context rows are dropped after the
+    frame evaluates.  Output is row-identical to the global window
+    (the oracle computes exactly that).
+
     Time is carried as exact epoch microseconds (unix_micros /
-    epoch_us on the oracle side) so frame-boundary comparisons are
-    integer-exact on both engines; emitted stats are order-independent
-    (count, max) so partial evaluation order cannot perturb the hash.
-    Scale: one exchange on event_type + an in-partition range frame;
-    a skewed event_type would be pre-split by (type, time-bucket)
-    two-level aggregation — here types are near-uniform.
+    epoch_us; parquet ts is TIMESTAMP_NTZ, cast through TIMESTAMP
+    under the UTC session tz — same convention as sessionize) so
+    frame-boundary comparisons are integer-exact on both engines;
+    emitted stats are order-independent (count, max) so partial
+    evaluation order cannot perturb the hash.
     """
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        # parquet ts is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
-        # UTC) to exact epoch µs — same convention as sessionize's epoch
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "value",
     )
+    spread = ev.withColumn(
+        "shift", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).withColumn(
+        "bucket", F.floor(F.col("ts_us") / _ROLL_WINDOW_US) + F.col("shift")
+    )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "bucket")
         .orderBy("ts_us")
         .rangeBetween(-_ROLL_WINDOW_US, 0)
     )
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.count("*").over(w).alias("n_7d"),
-        F.round(F.max("value").over(w), 6).alias("max_7d"),
+    return (
+        spread.select(
+            "event_id",
+            "event_type",
+            "shift",
+            F.count("*").over(w).alias("n_7d"),
+            F.round(F.max("value").over(w), 6).alias("max_7d"),
+        )
+        .where(F.col("shift") == 0)
+        .drop("shift")
     )
 
 

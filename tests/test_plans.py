@@ -281,12 +281,14 @@ def test_snapshot_diff_joins_digests_not_payloads(spark):
         assert "text" not in chunk
 
 
-def test_rolling_window_single_exchange_on_event_type(spark):
-    """One hash exchange on the window partition key; the range frame
-    itself is in-partition."""
+def test_rolling_window_bucketed_decomposition(spark):
+    """One hash exchange on (event_type, bucket) — the bounded-overlap
+    decomposition, not a #types-parallelism global window — and the
+    context-copy explode happens map-side before that single shuffle."""
     p = plan_of(Q.QUERIES["rolling_window"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") == 1
-    assert "hashpartitioning(event_type" in p
+    assert re.search(r"hashpartitioning\(event_type#\d+, bucket#\d+", p), p
+    assert n_nodes(p, "Generate") == 1  # the 2-way explode
 
 
 def test_bigram_pmi_in_array_bigrams_no_window(spark):

@@ -103,9 +103,18 @@ HEADLINE = [
     "multimodal_frames",
     "multimodal_features",
     "multimodal_resize",
+    "skew_join_salted",
+    "snapshot_diff",
+    "data_quality_checks",
+    "rolling_window",
+    "bigram_pmi",
+    "cohort_retention",
+    "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",
     "extract_transcripts",
+    "sql_udf_extract",
+    "incremental_extract",
     # streaming entries: fn() RUNS the availableNow streaming job at
     # DataFrame-construction time, so the timer covers staging + the
     # full micro-batch run, not just the final read.

@@ -320,30 +320,83 @@ FROM checks
 _ROLL_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
 
 
+def _rolling_group_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-(event_type, bucket) trailing-window kernel: exact count via
+    two binary searches and exact sliding max via the monotone-deque
+    algorithm — O(n log n) total, vs Spark's SlidingWindowFunctionFrame
+    which re-accumulates every frame from scratch (O(n × frame_size):
+    measured 5.2 s for a count-only RANGE frame over 200k rows with
+    ~3k-row frames, the dense-events case).  Both stats are
+    order-independent and FP-free (count integer, max exact), so the
+    kernel is bit-identical to the SQL window the oracle runs.
+
+    Frame semantics replayed exactly: RANGE BETWEEN -W AND CURRENT ROW
+    includes ALL ts peers of the current row (hence the right-side
+    searchsorted, not the row position — pandas' time rolling is
+    peer-order-sensitive and would diverge on timestamp ties).
+    """
+    order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy()))
+    pdf = pdf.iloc[order].reset_index(drop=True)
+    ts = pdf["ts_us"].to_numpy(np.int64)
+    vals = pdf["value"].to_numpy(np.float64)
+    left = np.searchsorted(ts, ts - _ROLL_WINDOW_US, side="left")
+    right = np.searchsorted(ts, ts, side="right")
+    mx = np.empty(len(ts), dtype=np.float64)
+    dq: list[int] = []  # indices with decreasing vals (deque as list)
+    head = 0
+    j = 0
+    for i in range(len(ts)):
+        while j < right[i]:
+            while len(dq) > head and vals[dq[-1]] <= vals[j]:
+                dq.pop()
+            dq.append(j)
+            j += 1
+        while dq[head] < left[i]:
+            head += 1
+        mx[i] = vals[dq[head]]
+    keep = pdf["shift"].to_numpy() == 0
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy()[keep],
+            "event_type": pdf["event_type"].to_numpy()[keep],
+            "n_7d": (right - left).astype(np.int64)[keep],
+            "max_7d": np.round(mx, 6)[keep],
+        }
+    )
+
+
 def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event trailing-7-day statistics over its event_type: a
-    RANGE window frame keyed on event time — the moving-aggregate
-    shape behind rate limiting, anomaly baselines, and trend features.
+    """Per-event trailing-7-day statistics over its event_type — the
+    moving-aggregate shape behind rate limiting, anomaly baselines,
+    and trend features.
 
-    Scale design — bounded-overlap bucket decomposition: a naive
-    ``partitionBy(event_type)`` window caps parallelism at #types and
-    buffers a type's whole history on one executor.  Instead each row
-    is assigned to its 7-day time bucket AND a context-only copy in
-    the NEXT bucket (one in-array explode, same scan); since the
-    bucket length equals the window length, every trailing frame is
-    fully contained in (own bucket ∪ previous bucket's context
-    copies), so the range frame runs per (event_type, bucket) —
-    parallelism grows with the time span, partition state is bounded
-    by one bucket's rows ×2 — and context rows are dropped after the
-    frame evaluates.  Output is row-identical to the global window
-    (the oracle computes exactly that).
+    Scale design, two layers:
 
-    Time is carried as exact epoch microseconds (unix_micros /
-    epoch_us; parquet ts is TIMESTAMP_NTZ, cast through TIMESTAMP
-    under the UTC session tz — same convention as sessionize) so
-    frame-boundary comparisons are integer-exact on both engines;
-    emitted stats are order-independent (count, max) so partial
-    evaluation order cannot perturb the hash.
+    1. **Bounded-overlap bucket decomposition** (the plan): a naive
+       ``partitionBy(event_type)`` window caps parallelism at #types
+       and buffers a type's whole history on one executor.  Instead
+       each row is assigned to its 7-day time bucket AND a
+       context-only copy in the NEXT bucket (one in-array explode,
+       same scan); since the bucket length equals the window length,
+       every trailing frame is fully contained in (own bucket ∪
+       previous bucket's context copies), so the computation runs per
+       (event_type, bucket) — parallelism grows with the time span and
+       group state is bounded by one bucket's rows ×2.  Context rows
+       are dropped after evaluation; output is row-identical to the
+       global window (which is exactly what the oracle computes).
+
+    2. **Kernel instead of JVM RANGE frame** (the execution): Spark's
+       sliding RANGE frame re-aggregates each row's frame from scratch
+       — quadratic when frames are dense (measured 10.7 s at sf0.1).
+       The per-group kernel (:func:`_rolling_group_kernel`) does the
+       same frame exactly in O(n log n) — searchsorted counts +
+       monotone-deque max — the SURVEY §4 dense-math doctrine applied
+       to window frames.
+
+    Time is exact epoch microseconds (unix_micros / epoch_us; parquet
+    ts is TIMESTAMP_NTZ, cast through TIMESTAMP under the UTC session
+    tz — same convention as sessionize), so frame-boundary comparisons
+    are integer-exact on both engines.
     """
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -356,21 +409,9 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bucket", F.floor(F.col("ts_us") / _ROLL_WINDOW_US) + F.col("shift")
     )
-    w = (
-        Window.partitionBy("event_type", "bucket")
-        .orderBy("ts_us")
-        .rangeBetween(-_ROLL_WINDOW_US, 0)
-    )
-    return (
-        spread.select(
-            "event_id",
-            "event_type",
-            "shift",
-            F.count("*").over(w).alias("n_7d"),
-            F.round(F.max("value").over(w), 6).alias("max_7d"),
-        )
-        .where(F.col("shift") == 0)
-        .drop("shift")
+    return spread.groupBy("event_type", "bucket").applyInPandas(
+        _rolling_group_kernel,
+        "event_id bigint, event_type string, n_7d bigint, max_7d double",
     )
 
 
@@ -478,6 +519,53 @@ FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w, total t
 
 
 # ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    distinct-user counts per (cohort, week-offset) — the engagement
+    rollup every analytics deployment of the engine runs over its
+    event stream.
+
+    Cohort periods are exact epoch-week numbers so the offset
+    arithmetic is integer-exact on both engines (no months_between
+    floats, no date subtraction ambiguity).  Scale: one
+    shuffle on user_id for the min-month cohort assignment (partial
+    min map-side), a broadcast-free rejoin of the K-row-per-user
+    cohort label via the SAME user_id partitioning (Catalyst reuses
+    the exchange), then a partial-agg count-distinct per (cohort,
+    offset) — distinct state bounded by users-per-cell, the standard
+    two-level expansion if a cell ever skews.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # exact epoch-week number (floor of epoch seconds / 1 week);
+        # weekly cohorts because the synthetic event span is ~weeks
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 604800).alias("yw"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("yw").alias("cohort_yw"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_yw", (F.col("yw") - F.col("cohort_yw")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS yw FROM events),
+cohort AS (
+  SELECT user_id, min(yw) AS cohort_yw FROM ev GROUP BY user_id)
+SELECT c.cohort_yw, e.yw - c.cohort_yw AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN cohort c USING (user_id)
+GROUP BY c.cohort_yw, e.yw - c.cohort_yw
+"""
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization
 # ---------------------------------------------------------------------------
 
@@ -580,6 +668,7 @@ SCALE_QUERIES = {
     "rolling_window": q_rolling_window,
     "bigram_pmi": q_bigram_pmi,
     "embed_quantize_int8": q_embed_quantize_int8,
+    "cohort_retention": q_cohort_retention,
 }
 
 SCALE_ORACLES = {
@@ -591,6 +680,7 @@ SCALE_ORACLES = {
     "rolling_window": ORACLE_ROLLING_WINDOW,
     "bigram_pmi": ORACLE_BIGRAM_PMI,
     "embed_quantize_int8": ORACLE_EMBED_QUANTIZE_INT8,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

@@ -83,6 +83,7 @@ REPRESENTATIVE = [
     "rolling_window",
     "bigram_pmi",
     "embed_quantize_int8",
+    "cohort_retention",
 ]
 
 

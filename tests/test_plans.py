@@ -283,12 +283,16 @@ def test_snapshot_diff_joins_digests_not_payloads(spark):
 
 def test_rolling_window_bucketed_decomposition(spark):
     """One hash exchange on (event_type, bucket) — the bounded-overlap
-    decomposition, not a #types-parallelism global window — and the
-    context-copy explode happens map-side before that single shuffle."""
+    decomposition, not a #types-parallelism global window — feeding the
+    O(n log n) grouped kernel (no JVM RANGE frame, whose sliding
+    re-aggregation is quadratic on dense frames), with the context-copy
+    explode map-side before that single shuffle."""
     p = plan_of(Q.QUERIES["rolling_window"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") == 1
     assert re.search(r"hashpartitioning\(event_type#\d+, bucket#\d+", p), p
     assert n_nodes(p, "Generate") == 1  # the 2-way explode
+    assert "FlatMapGroupsInPandas" in p
+    assert n_nodes(p, "Window") == 0
 
 
 def test_bigram_pmi_in_array_bigrams_no_window(spark):

@@ -109,6 +109,8 @@ HEADLINE = [
     "rolling_window",
     "bigram_pmi",
     "cohort_retention",
+    "train_test_split",
+    "chunk_documents",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

@@ -566,6 +566,119 @@ GROUP BY c.cohort_yw, e.yw - c.cohort_yw
 
 
 # ---------------------------------------------------------------------------
+# Group-aware train/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN_BUCKETS = 204  # of 256 ≈ 80%
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-aware train/test split: the whole
+    conversation (doc_id//10, the same grouping the flagship
+    extraction uses) lands in ONE split, so turns of a conversation
+    can never leak across the boundary — the split discipline a
+    training-data pipeline needs before eval-set contamination checks
+    mean anything.
+
+    The assignment is content-free and engine-portable: two hex chars
+    of md5(group_id) → a bucket in [0, 256), train iff bucket <
+    _SPLIT_TRAIN_BUCKETS.  A hash (not ``group_id % k``) so
+    structured id ranges (per-source blocks, time-ordered appends)
+    cannot bias either split.  Scale: the hash is map-side; one
+    partial-agg groupBy(split) with a distinct-group count — no join,
+    no second pass over payloads.
+    """
+    d = _t(spark, sf_dir, "documents")
+    hx = "0123456789abcdef"
+    g = d.withColumn("grp", (F.col("doc_id") / 10).cast("bigint")).withColumn(
+        "bucket",
+        F.expr(f"instr('{hx}', substr(md5(cast(grp as string)), 1, 1)) - 1") * 16
+        + F.expr(f"instr('{hx}', substr(md5(cast(grp as string)), 2, 1)) - 1"),
+    )
+    split = F.when(F.col("bucket") < _SPLIT_TRAIN_BUCKETS, "train").otherwise("test")
+    return (
+        g.select(split.alias("split"), "grp", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("grp").alias("n_groups"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = f"""
+WITH g AS (
+  SELECT doc_id // 10 AS grp, n_chars,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id // 10 AS VARCHAR)), 2, 1)) - 1)
+           AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < {_SPLIT_TRAIN_BUCKETS} THEN 'train' ELSE 'test' END
+         AS split,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 200
+_CHUNK_STEP = 150  # 50-char overlap
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every document is split
+    into fixed-length character windows with a fixed stride — the
+    embedding-pipeline pre-pass that turns long documents into
+    retrievable passages with provenance offsets.
+
+    Chunk starts are generated IN-ARRAY (`sequence(1, length, step)`)
+    and exploded positionally — pure map-side expansion, no shuffle,
+    no per-row Python; at 100 TB the output is written partitioned by
+    the same key as the input so downstream embedding jobs stay
+    co-located.  Offsets are 1-based (SQL substring convention) and
+    carried with each chunk so any downstream hit maps back to its
+    source span.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STEP))
+        ).alias("chunk_idx", "start"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        F.substring(F.col("text"), F.col("start"), F.lit(_CHUNK_LEN)).alias("chunk"),
+        F.length(
+            F.substring(F.col("text"), F.col("start"), F.lit(_CHUNK_LEN))
+        ).alias("chunk_len"),
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) + 1, {_CHUNK_STEP})) AS start,
+         unnest(range(0, CAST(ceil(length(text) / {_CHUNK_STEP}.0) AS BIGINT)))
+           AS chunk_idx
+  FROM documents)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, CAST(start AS INT) AS start,
+       substring(text, CAST(start AS INT), {_CHUNK_LEN}) AS chunk,
+       CAST(length(substring(text, CAST(start AS INT), {_CHUNK_LEN})) AS INT)
+         AS chunk_len
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization
 # ---------------------------------------------------------------------------
 
@@ -669,6 +782,8 @@ SCALE_QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "embed_quantize_int8": q_embed_quantize_int8,
     "cohort_retention": q_cohort_retention,
+    "train_test_split": q_train_test_split,
+    "chunk_documents": q_chunk_documents,
 }
 
 SCALE_ORACLES = {
@@ -681,6 +796,8 @@ SCALE_ORACLES = {
     "bigram_pmi": ORACLE_BIGRAM_PMI,
     "embed_quantize_int8": ORACLE_EMBED_QUANTIZE_INT8,
     "cohort_retention": ORACLE_COHORT_RETENTION,
+    "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

@@ -72,6 +72,24 @@ SHOWCASE = [
     ("pack_sequences",
      "distributed prefix sum: block totals -> tiny single-partition "
      "cumulative window -> per-block windows at full parallelism"),
+    ("skew_join_salted",
+     "explicit salt decomposition: ShuffledHashJoin on (key, salt), the "
+     "dim exploded xS so hot fact keys spread over S reducers"),
+    ("rolling_window",
+     "bounded-overlap bucket decomposition: one (type, bucket) exchange "
+     "into the O(n log n) grouped kernel — no quadratic JVM RANGE frame"),
+    ("snapshot_diff",
+     "digest-based CDC: the full-outer exchange carries (id, md5) only, "
+     "payload bytes never shuffle"),
+    ("bigram_pmi",
+     "in-array bigram construction map-side; only vocabulary-sized "
+     "aggregates and their joins exchange; 1-row total broadcasts"),
+    ("embed_quantize_int8",
+     "bit-exact int8 quantization + integer dot product: one Arrow pass, "
+     "zero exchanges"),
+    ("chunk_documents",
+     "context-window chunking as generate-over-scan: zero exchanges, "
+     "offsets carried for provenance"),
 ]
 
 

@@ -84,6 +84,8 @@ REPRESENTATIVE = [
     "bigram_pmi",
     "embed_quantize_int8",
     "cohort_retention",
+    "train_test_split",
+    "chunk_documents",
 ]
 
 

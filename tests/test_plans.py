@@ -311,3 +311,21 @@ def test_embed_quantize_int8_is_mapside_only(spark):
     p = plan_of(Q.QUERIES["embed_quantize_int8"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") == 0
     assert "MapInPandas" in p
+
+
+def test_train_test_split_no_join_single_agg_exchange(spark):
+    """Group hash + split label are map-side; the only exchange is the
+    final partial-agg groupBy(split)."""
+    p = plan_of(Q.QUERIES["train_test_split"](spark, SF_DIR))
+    assert "Join" not in p
+    # distinct-count expands map-side; exchanges only for the aggregate
+    assert n_nodes(p, "Exchange") <= 2
+
+
+def test_chunk_documents_pure_mapside_explode(spark):
+    """Chunk expansion is generate-over-scan: zero exchanges, zero
+    Python, offsets carried through."""
+    p = plan_of(Q.QUERIES["chunk_documents"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 0
+    assert n_nodes(p, "Generate") == 1
+    assert "EvalPython" not in p and "MapInPandas" not in p

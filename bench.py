@@ -125,6 +125,7 @@ HEADLINE = [
     "streaming_progress",
     "streaming_dedup",
     "streaming_enrich",
+    "streaming_sessions",
 ]
 
 

@@ -566,6 +566,105 @@ GROUP BY c.cohort_yw, e.yw - c.cohort_yw
 
 
 # ---------------------------------------------------------------------------
+# Streaming dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 600
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (`F.session_window`) as a REAL
+    streaming query: per-conversation activity sessions that merge
+    turns closer than 10 minutes — the streaming twin of the batch
+    ``sessionize`` entry, but using Spark's native merging session
+    state rather than a lag/cumsum window, so state is per-open-session
+    (bounded by the gap), not per-history.
+
+    Turn timestamps are synthesized in deterministic bursts (3 turns
+    30 s apart, then a 1 h silence) so each conversation genuinely
+    splits into multiple sessions.  Complete-mode memory sink keeps the
+    result batching-independent under ``availableNow`` (same contract
+    as streaming_turn_rate); session bounds are emitted as epoch
+    seconds — integer-exact on both engines.  Session semantics
+    replayed by the oracle: a turn starts a new session iff its gap
+    from the previous turn is >= the gap (Spark's session end =
+    last event + gap, exclusive).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import read_transcript_stream
+
+    d = _t(spark, sf_dir, "documents")
+    turns = d.select(
+        F.concat(
+            F.lit("conv-"), (F.col("doc_id") / 10).cast("bigint").cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1767225600)
+            + (F.col("doc_id") / 10).cast("bigint") * 86400
+            + F.floor((F.col("doc_id") % 10) / 3) * 3600
+            + (F.col("doc_id") % 10) * 30
+        ).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="occular-sessions-")
+    indir = os.path.join(tmp, "in")
+    turns.coalesce(1).write.parquet(indir)
+    name = "sess_" + os.path.basename(tmp).replace("occular-sessions-", "")
+    q = (
+        read_transcript_stream(spark, indir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("sw"),
+            "conv_id",
+        )
+        .agg(F.count("*").alias("n_turns"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name).select(
+        "conv_id",
+        F.col("sw.start").cast("long").alias("sess_start"),
+        F.col("sw.end").cast("long").alias("sess_end"),
+        "n_turns",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+ORACLE_STREAMING_SESSIONS = f"""
+WITH turns AS (
+  SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+         1767225600 + (doc_id // 10) * 86400
+           + ((doc_id % 10) // 3) * 3600 + (doc_id % 10) * 30 AS ts_s
+  FROM documents),
+flag AS (
+  SELECT conv_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY conv_id ORDER BY ts_s)
+                   >= {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM turns),
+sess AS (
+  SELECT conv_id, ts_s,
+         sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts_s) AS sid
+  FROM flag)
+SELECT conv_id, CAST(min(ts_s) AS BIGINT) AS sess_start,
+       CAST(max(ts_s) + {_SESSION_GAP_S} AS BIGINT) AS sess_end,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM sess GROUP BY conv_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Group-aware train/test split
 # ---------------------------------------------------------------------------
 
@@ -784,6 +883,7 @@ SCALE_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "train_test_split": q_train_test_split,
     "chunk_documents": q_chunk_documents,
+    "streaming_sessions": q_streaming_sessions,
 }
 
 SCALE_ORACLES = {
@@ -798,6 +898,7 @@ SCALE_ORACLES = {
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "streaming_sessions": ORACLE_STREAMING_SESSIONS,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

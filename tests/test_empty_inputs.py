@@ -86,6 +86,7 @@ REPRESENTATIVE = [
     "cohort_retention",
     "train_test_split",
     "chunk_documents",
+    "streaming_sessions",
 ]
 
 

@@ -111,6 +111,7 @@ HEADLINE = [
     "cohort_retention",
     "train_test_split",
     "chunk_documents",
+    "heavy_hitters_cms",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

@@ -566,6 +566,117 @@ GROUP BY c.cohort_yw, e.yw - c.cohort_yw
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_ROWS = 3
+_CMS_WIDTH = 256
+_CMS_MIN_COUNT = 100  # heavy-hitter threshold on exact counts
+_HEX = "0123456789abcdef"
+
+
+def _cms_bucket_expr(k: int, col: str, dialect: str) -> str:
+    """One CMS hash row: 16 bits of md5(seed‖token) → bucket in
+    [0, _CMS_WIDTH).  Rendered for both dialects from the same
+    template (house pattern, cf. _LANG_MARKERS) so Spark and DuckDB
+    compute bit-identical buckets — md5, substr, and the hex-digit
+    position lookup all behave identically."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    digest = f"md5(concat('cms{k}:', {col}))"
+    digits = [
+        f"({pos}('{_HEX}', substr({digest}, {i + 1}, 1)) - 1)" for i in range(4)
+    ]
+    weighted = " + ".join(
+        f"{d} * {16 ** (3 - i)}" if i < 3 else d for i, d in enumerate(digits)
+    )
+    return f"(({weighted}) % {_CMS_WIDTH})"
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a from-scratch Count-Min sketch: per-token
+    frequency estimated as min over _CMS_ROWS hash rows of a
+    _CMS_ROWS×_CMS_WIDTH counter matrix — the fixed-memory pass a
+    100 TB pipeline uses to find hot tokens WITHOUT a vocabulary-sized
+    exact aggregation (the sketch is K·W counters per partition,
+    merged by summation; the exact per-token groupBy here exists only
+    to label the output and verify the estimate).
+
+    Everything is deterministic (md5-derived hash rows shared by both
+    engines), so unlike probabilistic-bound contracts the oracle
+    replays the sketch EXACTLY: same buckets, same counters, same min.
+    Output: each heavy token (exact count ≥ _CMS_MIN_COUNT) with its
+    exact count, its CMS estimate, and the overestimate amount (≥ 0 by
+    the CMS one-sided-error property).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    buckets = toks.select(
+        "tok",
+        *[
+            F.expr(_cms_bucket_expr(k, "tok", "spark")).alias(f"b{k}")
+            for k in range(_CMS_ROWS)
+        ],
+    )
+    # the sketch: K separate (bucket -> count) aggregates, one shuffle
+    # each of W-bounded partial rows (union-able into a single pass
+    # over a (row, bucket) pair column at scale; kept per-row here for
+    # plan clarity)
+    sketches = [
+        buckets.groupBy(F.col(f"b{k}").alias("bucket"))
+        .agg(F.count("*").alias(f"c{k}"))
+        for k in range(_CMS_ROWS)
+    ]
+    exact = (
+        buckets.groupBy("tok", *[f"b{k}" for k in range(_CMS_ROWS)])
+        .agg(F.count("*").alias("exact_count"))
+        .where(F.col("exact_count") >= _CMS_MIN_COUNT)
+    )
+    est = exact
+    for k in range(_CMS_ROWS):
+        est = est.join(
+            F.broadcast(sketches[k]), est[f"b{k}"] == sketches[k]["bucket"]
+        ).drop("bucket")
+    return est.select(
+        "tok",
+        "exact_count",
+        F.least(*[F.col(f"c{k}") for k in range(_CMS_ROWS)]).alias("cms_estimate"),
+        (
+            F.least(*[F.col(f"c{k}") for k in range(_CMS_ROWS)])
+            - F.col("exact_count")
+        ).alias("overestimate"),
+    )
+
+
+def _cms_oracle() -> str:
+    b = [_cms_bucket_expr(k, "tok", "duckdb") for k in range(_CMS_ROWS)]
+    sketch_ctes = ",\n".join(
+        f"s{k} AS (SELECT {b[k]} AS bucket, count(*) AS c{k} FROM toks2 GROUP BY 1)"
+        for k in range(_CMS_ROWS)
+    )
+    joins = " ".join(f"JOIN s{k} ON s{k}.bucket = {b[k]}" for k in range(_CMS_ROWS))
+    least = f"least({', '.join(f'c{k}' for k in range(_CMS_ROWS))})"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+toks2 AS (SELECT tok FROM toks WHERE tok <> ''),
+{sketch_ctes},
+exact AS (
+  SELECT tok, count(*) AS exact_count FROM toks2 GROUP BY tok
+  HAVING count(*) >= {_CMS_MIN_COUNT})
+SELECT e.tok, CAST(e.exact_count AS BIGINT) AS exact_count,
+       CAST({least} AS BIGINT) AS cms_estimate,
+       CAST({least} - e.exact_count AS BIGINT) AS overestimate
+FROM (SELECT tok, exact_count FROM exact) e {joins}
+"""
+
+
+ORACLE_HEAVY_HITTERS_CMS = _cms_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Streaming dynamic-gap session windows
 # ---------------------------------------------------------------------------
 
@@ -884,6 +995,7 @@ SCALE_QUERIES = {
     "train_test_split": q_train_test_split,
     "chunk_documents": q_chunk_documents,
     "streaming_sessions": q_streaming_sessions,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
 SCALE_ORACLES = {
@@ -899,6 +1011,7 @@ SCALE_ORACLES = {
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "streaming_sessions": ORACLE_STREAMING_SESSIONS,
+    "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

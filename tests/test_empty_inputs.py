@@ -87,6 +87,7 @@ REPRESENTATIVE = [
     "train_test_split",
     "chunk_documents",
     "streaming_sessions",
+    "heavy_hitters_cms",
 ]
 
 

@@ -329,3 +329,22 @@ def test_chunk_documents_pure_mapside_explode(spark):
     assert n_nodes(p, "Exchange") == 0
     assert n_nodes(p, "Generate") == 1
     assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_heavy_hitters_cms_sketches_broadcast(spark):
+    """The K fixed-width sketch tables broadcast (W=256 rows each); the
+    token stream shuffles only for its own aggregates — no sort-merge
+    join of the vocabulary against the sketch."""
+    p = plan_of(Q.QUERIES["heavy_hitters_cms"](spark, SF_DIR))
+    assert n_nodes(p, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+
+
+def test_cohort_retention_exchange_reuse_on_user_id(spark):
+    """The cohort-label rejoin shares the user_id partitioning with the
+    min-aggregate that produced it: no extra exchange beyond the
+    user_id shuffle and the final (cohort, offset) aggregate."""
+    p = plan_of(Q.QUERIES["cohort_retention"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # exchanges: user_id (shared), final agg, (+ at most one AQE remnant)
+    assert n_nodes(p, "Exchange") <= 3

@@ -56,6 +56,7 @@ HEADLINE = [
     "cube_counts",
     "group_quantiles",
     "group_quantiles_approx",
+    "group_quantiles_dist",
     "distinct_agg",
     "window_funcs",
     "json_roundtrip",

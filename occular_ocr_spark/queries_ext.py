@@ -574,9 +574,11 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality stat groups (3 return flags here); for per-corpus
     or high-cardinality quantiles the production knob is
     ``approx_percentile`` (t-digest — mergeable, bounded-memory,
-    map-side partial aggregation).  Approximate answers have no
-    SQL-equality oracle, so the exact form is the verified entry and
-    the approx form is the documented swap.
+    map-side partial aggregation; gate-verified as
+    ``group_quantiles_approx``) or, when the answer must stay EXACT,
+    the two-pass histogram-selection entry
+    ``group_quantiles_dist`` (queries_scale.py) — same oracle as this
+    entry, no group ever buffered.
     """
     li = _q._t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

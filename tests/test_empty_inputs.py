@@ -88,6 +88,7 @@ REPRESENTATIVE = [
     "chunk_documents",
     "streaming_sessions",
     "heavy_hitters_cms",
+    "group_quantiles_dist",
 ]
 
 

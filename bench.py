@@ -113,6 +113,8 @@ HEADLINE = [
     "train_test_split",
     "chunk_documents",
     "heavy_hitters_cms",
+    "event_props_json",
+    "pagerank_bipartite",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

@@ -566,6 +566,152 @@ GROUP BY c.cohort_yw, e.yw - c.cohort_yw
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the customer-supplier graph
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 2
+
+
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 fixed power iterations, d=0.85) over the undirected
+    customer↔supplier purchase graph — the graph-analytics family
+    beyond connected components: who are the most central parties in
+    the order network.
+
+    Graph build: distinct (customer, supplier) pairs from
+    orders⋈lineitem, symmetrized (both directions) so no dangling
+    nodes exist and every node's out-degree is its degree.  Each
+    iteration is the canonical join-shape: edges⋈ranks on the source
+    (one shuffle), degree join on the SAME key (exchange reused),
+    partial-agg sum per destination.  Unrolled 2× like kmeans_lloyd;
+    at 100 TB the loop adds localCheckpoint per round (cf.
+    dedup_groups) — identical plan per iteration.
+
+    FP contract (kmeans precedent): ranks are float32-quantized after
+    every iteration on BOTH engines (CAST AS REAL), so Spark's
+    partial-aggregation summation order and DuckDB's sequential sum
+    cannot diverge below the quantization; output rounds the float32
+    value at 8 dp.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_df = edges.agg(F.countDistinct("src").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n_df)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).cast("float").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(1 - _PR_DAMPING) / F.col("n")
+                    + F.lit(_PR_DAMPING) * F.col("s")
+                )
+                .cast("float")
+                .alias("r"),
+            )
+        )
+    return ranks.select(
+        "node", F.round(F.col("r").cast("double"), 8).alias("rank")
+    )
+
+
+ORACLE_PAGERANK_BIPARTITE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+r0 AS (
+  SELECT deg.src AS node, CAST(CAST(1.0 AS DOUBLE) / nn.n AS REAL) AS r
+  FROM deg, nn),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST(CAST({1 - _PR_DAMPING} AS DOUBLE) / any_value(nn.n)
+              + CAST({_PR_DAMPING} AS DOUBLE) * sum(r0.r / deg.d) AS REAL) AS r
+  FROM edges e
+  JOIN r0 ON r0.node = e.src
+  JOIN deg ON deg.src = e.src, nn
+  GROUP BY e.dst),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST(CAST({1 - _PR_DAMPING} AS DOUBLE) / any_value(nn.n)
+              + CAST({_PR_DAMPING} AS DOUBLE) * sum(r1.r / deg.d) AS REAL) AS r
+  FROM edges e
+  JOIN r1 ON r1.node = e.src
+  JOIN deg ON deg.src = e.src, nn
+  GROUP BY e.dst)
+SELECT node, round(CAST(r AS DOUBLE), 8) AS rank FROM r2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured event properties
+# ---------------------------------------------------------------------------
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the events table's native JSON ``props``
+    column (`from_json` with an explicit schema — the JVM-side typed
+    path, not per-row Python or schema inference) aggregated per event
+    type — the semi-structured ingestion shape for tool-output
+    payloads riding alongside transcript turns.
+
+    Scale: parse + project are map-side inside whole-stage codegen; a
+    malformed document yields NULL (PERMISSIVE) and is counted
+    explicitly rather than killing the job; one partial-agg exchange.
+    Complements ``json_roundtrip`` (which pins serialize→parse over
+    synthesized payloads) by exercising the fixture's real JSON column.
+    """
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_bad"),
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+    )
+
+
+ORACLE_EVENT_PROPS_JSON = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL)
+            AS BIGINT) AS n_bad,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed exact quantiles (two-pass histogram selection)
 # ---------------------------------------------------------------------------
 
@@ -1144,6 +1290,8 @@ SCALE_QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "group_quantiles_dist": q_group_quantiles_dist,
+    "event_props_json": q_event_props_json,
+    "pagerank_bipartite": q_pagerank_bipartite,
 }
 
 SCALE_ORACLES = {
@@ -1161,6 +1309,8 @@ SCALE_ORACLES = {
     "streaming_sessions": ORACLE_STREAMING_SESSIONS,
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "group_quantiles_dist": _q.ORACLES["group_quantiles"],
+    "event_props_json": ORACLE_EVENT_PROPS_JSON,
+    "pagerank_bipartite": ORACLE_PAGERANK_BIPARTITE,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

@@ -89,6 +89,8 @@ REPRESENTATIVE = [
     "streaming_sessions",
     "heavy_hitters_cms",
     "group_quantiles_dist",
+    "event_props_json",
+    "pagerank_bipartite",
 ]
 
 

@@ -348,3 +348,20 @@ def test_cohort_retention_exchange_reuse_on_user_id(spark):
     assert "CartesianProduct" not in p
     # exchanges: user_id (shared), final agg, (+ at most one AQE remnant)
     assert n_nodes(p, "Exchange") <= 3
+
+
+def test_pagerank_iteration_shape(spark):
+    """Each power iteration is edges⋈ranks + degree join on the same
+    source key + a partial-agg sum per destination — no cartesian, no
+    window, the N constant rides a 1-row broadcast."""
+    p = plan_of(Q.QUERIES["pagerank_bipartite"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert n_nodes(p, "Window") == 0
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_event_props_json_mapside_parse_single_exchange(spark):
+    """from_json runs inside the scan stage; one partial-agg shuffle."""
+    p = plan_of(Q.QUERIES["event_props_json"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert "EvalPython" not in p  # typed JVM parse, not a UDF

@@ -2,8 +2,11 @@
 of running the extraction engine as a production service — explicit
 skew-salted joins, the SQL-function surface, incremental (checkpoint-
 resume) processing, snapshot diffing, data-quality gates, rolling
-time-range windows, collocation mining, and int8 embedding
-quantization.
+time-range windows (bucket-decomposed, kernel-evaluated), collocation
+mining, Count-Min heavy hitters, PageRank over the purchase graph,
+typed JSON props extraction, distributed exact quantiles, cohort
+retention, group-aware train/test splitting, context-window chunking,
+int8 embedding quantization, and streaming session windows.
 
 House contract throughout: the Spark plan is the 100 TB design and a
 DuckDB oracle replays the exact semantics for the value-hash gate.

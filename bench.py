@@ -115,6 +115,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "event_props_json",
     "pagerank_bipartite",
+    "bpe_merges",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

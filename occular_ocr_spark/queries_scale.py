@@ -569,6 +569,113 @@ GROUP BY c.cohort_yw, e.yw - c.cohort_yw
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+
+
+def _bpe_pairs(sym_col: str):
+    """Adjacent symbol pairs of a space-separated symbol string,
+    built in-array (no per-symbol shuffle); words of one symbol
+    contribute nothing."""
+    return F.when(
+        F.size(F.split(F.col(sym_col), " ")) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({sym_col}, ' ')) - 1),"
+            f" i -> concat(split({sym_col}, ' ')[i - 1], ' ',"
+            f" split({sym_col}, ' ')[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training, the real tokenizer-training
+    shape: {_BPE_ROUNDS} rounds of (weighted adjacent-pair count →
+    argmax → merge), run over the WORD-FREQUENCY table — the classic
+    BPE factorization where the corpus reduces once to (word, count)
+    and every round's pair statistics are partial-aggregated sums over
+    the vocabulary, never the corpus.
+
+    Scale: the corpus is touched once (token count groupBy); each
+    round is a vocab-sized map (in-array pair construction) + one
+    partial-agg exchange + a 1-row argmax fetch (the merge decision is
+    a constant, like the k-means centroids).  Tie-break deterministic:
+    highest count, then lexicographic pair.  The oracle replays both
+    rounds in CTEs — same left-to-right non-overlapping `replace`
+    semantics in both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # char-spaced symbol string: 'hello' -> 'h e l l o'
+    cur = vocab.select(
+        F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 ")).alias("sym"), "cnt"
+    )
+    out_rows = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        pair_counts = (
+            cur.select(F.explode(_bpe_pairs("sym")).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pair_counts.orderBy(F.col("c").desc(), F.col("pair")).head(1)
+        if not best:  # degenerate corpus: no pairs at all
+            break
+        pair, c = best[0]["pair"], best[0]["c"]
+        out_rows.append((rank, pair, int(c)))
+        cur = cur.select(
+            F.replace(
+                F.col("sym"), F.lit(pair), F.lit(pair.replace(" ", ""))
+            ).alias("sym"),
+            "cnt",
+        )
+    return spark.createDataFrame(
+        out_rows, "merge_rank int, pair string, pair_count bigint"
+    )
+
+
+ORACLE_BPE_MERGES = r"""
+WITH vocab AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+v0 AS (
+  SELECT trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS sym, cnt FROM vocab),
+e1 AS (
+  SELECT sym, cnt,
+         unnest(string_split(sym, ' ')) AS s,
+         unnest(range(1, len(string_split(sym, ' ')) + 1)) AS pos
+  FROM v0),
+p1 AS (
+  SELECT s || ' ' || lead(s) OVER (PARTITION BY sym ORDER BY pos) AS pair, cnt
+  FROM e1),
+c1 AS (SELECT pair, sum(cnt) AS c FROM p1 WHERE pair IS NOT NULL GROUP BY pair),
+b1 AS (SELECT pair, c FROM c1 ORDER BY c DESC, pair LIMIT 1),
+v1 AS (
+  SELECT replace(sym, b1.pair, replace(b1.pair, ' ', '')) AS sym, cnt
+  FROM v0, b1),
+e2 AS (
+  SELECT sym, cnt,
+         unnest(string_split(sym, ' ')) AS s,
+         unnest(range(1, len(string_split(sym, ' ')) + 1)) AS pos
+  FROM v1),
+p2 AS (
+  SELECT s || ' ' || lead(s) OVER (PARTITION BY sym ORDER BY pos) AS pair, cnt
+  FROM e2),
+c2 AS (SELECT pair, sum(cnt) AS c FROM p2 WHERE pair IS NOT NULL GROUP BY pair),
+b2 AS (SELECT pair, c FROM c2 ORDER BY c DESC, pair LIMIT 1)
+SELECT CAST(1 AS INT) AS merge_rank, pair, CAST(c AS BIGINT) AS pair_count FROM b1
+UNION ALL
+SELECT CAST(2 AS INT), pair, CAST(c AS BIGINT) FROM b2
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the customer-supplier graph
 # ---------------------------------------------------------------------------
 
@@ -1295,6 +1402,7 @@ SCALE_QUERIES = {
     "group_quantiles_dist": q_group_quantiles_dist,
     "event_props_json": q_event_props_json,
     "pagerank_bipartite": q_pagerank_bipartite,
+    "bpe_merges": q_bpe_merges,
 }
 
 SCALE_ORACLES = {
@@ -1314,6 +1422,7 @@ SCALE_ORACLES = {
     "group_quantiles_dist": _q.ORACLES["group_quantiles"],
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
     "pagerank_bipartite": ORACLE_PAGERANK_BIPARTITE,
+    "bpe_merges": ORACLE_BPE_MERGES,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

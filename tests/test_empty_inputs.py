@@ -91,6 +91,7 @@ REPRESENTATIVE = [
     "group_quantiles_dist",
     "event_props_json",
     "pagerank_bipartite",
+    "bpe_merges",
 ]
 
 

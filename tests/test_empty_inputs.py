@@ -92,6 +92,7 @@ REPRESENTATIVE = [
     "event_props_json",
     "pagerank_bipartite",
     "bpe_merges",
+    "sparse_retrieval",
 ]
 
 

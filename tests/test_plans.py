@@ -365,3 +365,12 @@ def test_event_props_json_mapside_parse_single_exchange(spark):
     p = plan_of(Q.QUERIES["event_props_json"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") == 1
     assert "EvalPython" not in p  # typed JVM parse, not a UDF
+
+
+def test_sparse_retrieval_index_pruned_takeordered(spark):
+    """Scoring joins only query-term postings (Q-row broadcast) and the
+    cut is TakeOrdered — no global sort of the scored stream."""
+    p = plan_of(Q.QUERIES["sparse_retrieval"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p

@@ -117,6 +117,7 @@ HEADLINE = [
     "pagerank_bipartite",
     "bpe_merges",
     "sparse_retrieval",
+    "pii_redact",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

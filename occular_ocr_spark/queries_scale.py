@@ -569,6 +569,66 @@ GROUP BY c.cohort_yw, e.yw - c.cohort_yw
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus runs
+    before release: match-and-replace of personal identifiers (here an
+    email pattern kept to syntax that behaves identically under Java
+    regex and RE2, cf. text_normalize's dialect note).
+
+    The fixture corpus is deliberately PII-free, so test addresses are
+    INJECTED deterministically (every 7th doc gets a doc_id-derived
+    address) and the redactor must remove exactly those — the oracle
+    replays injection + redaction and the digest check proves the
+    scrubbed text is byte-identical, not just counted.  Scale: pure
+    map-side — inject, redact, digest all inside one codegen stage,
+    zero exchanges.
+    """
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(injected, _PII_EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % 7 == 0).alias("was_redacted"),
+        F.md5(redacted).alias("red_digest"),
+        F.length(injected).alias("len_before"),
+        F.length(redacted).alias("len_after"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now'
+              ELSE text END AS injected
+  FROM documents)
+SELECT doc_id,
+       doc_id % 7 = 0 AS was_redacted,
+       md5(regexp_replace(injected, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'))
+         AS red_digest,
+       CAST(length(injected) AS INT) AS len_before,
+       CAST(length(regexp_replace(injected, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'))
+            AS INT) AS len_after
+FROM inj
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sparse TF-IDF retrieval
 # ---------------------------------------------------------------------------
 
@@ -1481,6 +1541,7 @@ SCALE_QUERIES = {
     "pagerank_bipartite": q_pagerank_bipartite,
     "bpe_merges": q_bpe_merges,
     "sparse_retrieval": q_sparse_retrieval,
+    "pii_redact": q_pii_redact,
 }
 
 SCALE_ORACLES = {
@@ -1502,6 +1563,7 @@ SCALE_ORACLES = {
     "pagerank_bipartite": ORACLE_PAGERANK_BIPARTITE,
     "bpe_merges": ORACLE_BPE_MERGES,
     "sparse_retrieval": ORACLE_SPARSE_RETRIEVAL,
+    "pii_redact": ORACLE_PII_REDACT,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

@@ -93,6 +93,7 @@ REPRESENTATIVE = [
     "pagerank_bipartite",
     "bpe_merges",
     "sparse_retrieval",
+    "pii_redact",
 ]
 
 

@@ -374,3 +374,10 @@ def test_sparse_retrieval_index_pruned_takeordered(spark):
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
+
+
+def test_pii_redact_zero_exchanges(spark):
+    """Inject + redact + digest run inside one codegen stage."""
+    p = plan_of(Q.QUERIES["pii_redact"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 0
+    assert "EvalPython" not in p

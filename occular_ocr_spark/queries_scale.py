@@ -457,13 +457,18 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c_w"))
     )
+    # size-1 guard is load-bearing: sequence(1, 0) DESCENDS ([1, 0]) and
+    # toks[1] then throws under ANSI mode on any space-free document
     big = (
         toks.select(
             F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> concat(toks[i - 1], ' ', toks[i]))"
-                )
+                F.when(
+                    F.size("toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> concat(toks[i - 1], ' ', toks[i]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("bg")
         )
         .groupBy("bg")
@@ -658,11 +663,15 @@ def q_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()
     if n_docs == 0:
         return spark.createDataFrame([], "doc_id bigint, score double")
+    # cached: the query-term argmax below materializes this lineage and
+    # the returned scoring plan reuses it (dedup_groups/ivf house
+    # pattern) — without the cache the corpus is tokenized twice
     postings = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
+        .cache()
     )
     df_counts = postings.groupBy("tok").agg(F.count("*").alias("df"))
     qterms = df_counts.orderBy(F.col("df").desc(), F.col("tok")).head(
@@ -749,10 +758,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    # char-spaced symbol string: 'hello' -> 'h e l l o'
+    # char-spaced symbol string: 'hello' -> 'h e l l o'.  Each round's
+    # symbol table is cached before its argmax materializes it, so the
+    # corpus is tokenized once and round k+1 rewrites round k's CACHED
+    # vocab rather than replaying the whole lineage from the raw scan
+    # (kmeans_lloyd/dedup_groups precedent).
     cur = vocab.select(
         F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 ")).alias("sym"), "cnt"
-    )
+    ).cache()
     out_rows = []
     for rank in range(1, _BPE_ROUNDS + 1):
         pair_counts = (
@@ -770,7 +783,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sym"), F.lit(pair), F.lit(pair.replace(" ", ""))
             ).alias("sym"),
             "cnt",
-        )
+        ).cache()
     return spark.createDataFrame(
         out_rows, "merge_rank int, pair string, pair_count bigint"
     )
@@ -1116,20 +1129,18 @@ _HEX = "0123456789abcdef"
 
 
 def _cms_bucket_expr(k: int, col: str, dialect: str) -> str:
-    """One CMS hash row: 16 bits of md5(seed‖token) → bucket in
-    [0, _CMS_WIDTH).  Rendered for both dialects from the same
-    template (house pattern, cf. _LANG_MARKERS) so Spark and DuckDB
-    compute bit-identical buckets — md5, substr, and the hex-digit
-    position lookup all behave identically."""
+    """One CMS hash row: the first 2 hex digits (8 bits, exactly
+    [0, _CMS_WIDTH)) of md5(seed‖token) → bucket.  Rendered for both
+    dialects from the same template (house pattern, cf. _LANG_MARKERS)
+    so Spark and DuckDB compute bit-identical buckets — md5, substr,
+    and the hex-digit position lookup all behave identically."""
+    assert _CMS_WIDTH == 256  # 2 hex digits span the width exactly
     pos = "instr" if dialect == "spark" else "strpos"
     digest = f"md5(concat('cms{k}:', {col}))"
     digits = [
-        f"({pos}('{_HEX}', substr({digest}, {i + 1}, 1)) - 1)" for i in range(4)
+        f"({pos}('{_HEX}', substr({digest}, {i + 1}, 1)) - 1)" for i in range(2)
     ]
-    weighted = " + ".join(
-        f"{d} * {16 ** (3 - i)}" if i < 3 else d for i, d in enumerate(digits)
-    )
-    return f"(({weighted}) % {_CMS_WIDTH})"
+    return f"({digits[0]} * 16 + {digits[1]})"
 
 
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,32 +1275,37 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts"),
     )
     tmp = tempfile.mkdtemp(prefix="occular-sessions-")
-    indir = os.path.join(tmp, "in")
-    turns.coalesce(1).write.parquet(indir)
     name = "sess_" + os.path.basename(tmp).replace("occular-sessions-", "")
-    q = (
-        read_transcript_stream(spark, indir)
-        .withWatermark("ts", "2 hours")
-        .groupBy(
-            F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("sw"),
-            "conv_id",
+    try:
+        indir = os.path.join(tmp, "in")
+        turns.coalesce(1).write.parquet(indir)
+        q = (
+            read_transcript_stream(spark, indir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("sw"),
+                "conv_id",
+            )
+            .agg(F.count("*").alias("n_turns"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .agg(F.count("*").alias("n_turns"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = spark.table(name).select(
-        "conv_id",
-        F.col("sw.start").cast("long").alias("sess_start"),
-        F.col("sw.end").cast("long").alias("sess_end"),
-        "n_turns",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return res
+        q.awaitTermination()
+        # localCheckpoint detaches the result from the memory-sink table
+        # so the table can be dropped here — otherwise each invocation
+        # leaks a uniquely-named in-memory copy of the full result
+        return spark.table(name).select(
+            "conv_id",
+            F.col("sw.start").cast("long").alias("sess_start"),
+            F.col("sw.end").cast("long").alias("sess_end"),
+            "n_turns",
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 ORACLE_STREAMING_SESSIONS = f"""
@@ -1339,11 +1355,14 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second pass over payloads.
     """
     d = _t(spark, sf_dir, "documents")
-    hx = "0123456789abcdef"
+    # one digest per row: conv(hex, 16, 10) decodes the 2 leading hex
+    # digits directly (the DuckDB oracle, which lacks conv, replays the
+    # same value via the _HEX strpos idiom — cf. _cms_bucket_expr)
     g = d.withColumn("grp", (F.col("doc_id") / 10).cast("bigint")).withColumn(
         "bucket",
-        F.expr(f"instr('{hx}', substr(md5(cast(grp as string)), 1, 1)) - 1") * 16
-        + F.expr(f"instr('{hx}', substr(md5(cast(grp as string)), 2, 1)) - 1"),
+        F.conv(F.substring(F.md5(F.col("grp").cast("string")), 1, 2), 16, 10).cast(
+            "int"
+        ),
     )
     split = F.when(F.col("bucket") < _SPLIT_TRAIN_BUCKETS, "train").otherwise("test")
     return (
@@ -1396,11 +1415,16 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     source span.
     """
     d = _t(spark, sf_dir, "documents")
+    # empty-text guard is load-bearing: sequence(1, 0, step) throws
+    # IllegalArgumentException; an empty doc must yield zero chunks
+    # (the oracle's range(1, 1, step) is empty for the same row)
+    starts = F.when(
+        F.length("text") > 0,
+        F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STEP)),
+    ).otherwise(F.array().cast("array<int>"))
     return d.select(
         "doc_id",
-        F.posexplode(
-            F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STEP))
-        ).alias("chunk_idx", "start"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
         F.col("text"),
     ).select(
         "doc_id",

@@ -55,9 +55,10 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = one_year._jdf.queryExecution().executedPlan().toString()
     # the year filter must be served by directory pruning, not a
     # row-level Filter node over the full scan
-    assert "PartitionFilters: [isnotnull(o_year" in plan.replace("#", "").replace(
-        "isnotnull(o_year", "isnotnull(o_year"
-    ) or "o_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1), plan
     # every file the pruned scan would touch lives under ONE directory
     files = [
         r.file
@@ -133,3 +134,26 @@ def test_unsorted_write_has_overlapping_row_groups(spark, tmp_path):
         if hi1 >= lo2 and hi2 >= lo1
     )
     assert overlaps == len(ranges) - 1, ranges
+
+
+def test_degenerate_documents_do_not_crash_text_entries(spark, tmp_path):
+    """ANSI-mode regression guards: a space-free document must not blow
+    up bigram construction (sequence(1,0) descends) and an empty
+    document must yield zero chunks (sequence(1,0,step) throws).  The
+    fixture corpus contains neither shape, so pin them here."""
+    from occular_ocr_spark.queries import QUERIES
+
+    d = str(tmp_path / "degenerate")
+    spark.createDataFrame(
+        [(0, "hello", "en", "web", 5),          # one token, no space
+         (1, "", "en", "web", 0),               # empty text
+         (2, "a b a b a b a b a b", "en", "web", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    bi = QUERIES["bigram_pmi"](spark, d)
+    assert bi.count() >= 0  # must execute, not raise
+    ch = QUERIES["chunk_documents"](spark, d).collect()
+    ids = {r["doc_id"] for r in ch}
+    assert 1 not in ids  # empty doc -> zero chunks
+    assert 0 in ids and 2 in ids

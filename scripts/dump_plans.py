@@ -90,6 +90,21 @@ SHOWCASE = [
     ("chunk_documents",
      "context-window chunking as generate-over-scan: zero exchanges, "
      "offsets carried for provenance"),
+    ("heavy_hitters_cms",
+     "Count-Min sketch: K fixed-width sketch tables broadcast, token "
+     "stream shuffles only for its own aggregates"),
+    ("sparse_retrieval",
+     "index-pruned lexical scoring: Q-row query broadcast over cached "
+     "postings, TakeOrdered cut on the rounded score"),
+    ("pagerank_bipartite",
+     "power iteration as edges-joins-ranks + same-key degree join + "
+     "partial-agg sum per destination; N rides a 1-row broadcast"),
+    ("group_quantiles_dist",
+     "two-pass histogram selection: only rank-containing buckets are "
+     "re-ranked, window state bounded by one bucket's occupancy"),
+    ("pii_redact",
+     "inject + redact + digest inside one codegen stage, zero "
+     "exchanges"),
 ]
 
 

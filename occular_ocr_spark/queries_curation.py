@@ -1,0 +1,378 @@
+"""Corpus-curation catalog, round 3 (session 3): span-level exact
+deduplication (the token-window formulation of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" — the
+scalable MapReduce variant of their suffix-array method), the C4-style
+scrub that actually rewrites documents, corpus-unigram language-model
+scoring, and a Gopher-style staged quality funnel with integer-exact
+thresholds.
+
+House contract throughout: the Spark plan is the 100 TB design
+(map-side window generation, digest shuffle keys, partial aggregation,
+no driver-side loops) and a DuckDB oracle replays the exact semantics
+for the value-hash gate.  Self-registers into queries.QUERIES /
+queries.ORACLES on import (same pattern as queries_ext /
+queries_pipeline / queries_scale).
+
+Reference parity: the reference engine's per-page text cleanup
+(postprocess.py block filters) is per-document; these entries are the
+CROSS-document curation stage a 10^12-turn corpus needs before
+training, built from the same primitives (tokenize, hash, group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# Span-level exact duplication (Lee et al. token windows)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per window: long enough that natural re-use is rare,
+             # short enough that injected near-dups share many windows
+
+
+def _span_window_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, i, win_h): every _SPAN_K-token window of every document,
+    keyed by its md5 digest.
+
+    Window generation is IN-ARRAY (transform over sequence) then a
+    single posexplode — pure map-side expansion, no shuffle, no Python.
+    The 128-bit digest replaces the ~50-byte window string as the
+    shuffle key: collision-safe and 3× fewer shuffle bytes, the knob
+    that matters when the window count is ~n_tokens × corpus size.
+    Guard: a doc with fewer than _SPAN_K tokens yields zero windows
+    (sequence(1, n-k+1) would DESCEND for n < k — same ANSI trap as
+    bigram_pmi).
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    wins = F.when(
+        n >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _SPAN_K + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, F.lit(_SPAN_K)), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.posexplode(wins).alias("pos0", "win_h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "win_h")
+
+
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-duplication audit: for every document, how many of its
+    _SPAN_K-token windows also occur in at least one OTHER document —
+    the contamination metric a curation pipeline watches before and
+    after scrubbing.
+
+    Plan: map-side window digests -> one partial-aggregated groupBy
+    (win_h) for document frequency -> equi-join back on the digest ->
+    per-doc partial-agg counts.  Both shuffles key on the digest /
+    doc_id; nothing is quadratic and no window string travels through
+    an exchange.  At 100 TB a hot boilerplate window ("click here to
+    unsubscribe ...") makes df huge but the join stays 1 row per
+    occurrence — df is a scalar per digest, not a pair list, so there
+    is no hot-key blowup to cap (contrast dedup_ngram_jaccard, which
+    materializes PAIRS and therefore caps).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = _span_window_hashes(d)
+    wf = w.groupBy("win_h").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        w.join(wf, "win_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_windows") / F.col("n_windows"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )
+
+
+ORACLE_DUP_SPAN_REPORT = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, array_to_string(t[i:i + {_SPAN_K - 1}], ' ') AS win
+      FROM toks, unnest(range(1, greatest(len(t) - {_SPAN_K} + 2, 1))) AS r(i)),
+f AS (SELECT win, count(DISTINCT doc_id) AS df FROM w GROUP BY win),
+p AS (SELECT w.doc_id, count(*) AS nw,
+             count(*) FILTER (WHERE f.df > 1) AS nd
+      FROM w JOIN f USING (win) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(p.nw, 0) AS n_windows,
+       coalesce(p.nd, 0) AS n_dup_windows,
+       CASE WHEN coalesce(p.nw, 0) > 0
+            THEN round(CAST(p.nd AS DOUBLE) / CAST(p.nw AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_ratio
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Lee scrub itself: rewrite every document with the tokens
+    covered by cross-document duplicated windows REMOVED, keeping each
+    duplicated span only in its canonical owner (the smallest doc_id
+    containing the window).  Within-document repeats are untouched —
+    the rule is cross-document, exactly C4's "span occurring in more
+    than one document".
+
+    Plan: window digests -> groupBy(win_h) keeps only df > 1 digests
+    with their min-doc owner (partial-aggregated; the filtered side is
+    a vanishing fraction of windows) -> join back marks offending
+    window STARTS -> in-array sequence explodes starts to covered
+    token positions (map-side, ≤ k rows per bad window) -> left_anti
+    against the posexploded tokens -> per-doc ordered reassembly
+    (collect_list + array_sort, within-group only, never a global
+    sort).  Every shuffle keys on the digest or doc_id; the rewrite is
+    embarrassingly parallel per document.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = _span_window_hashes(d)
+    dup = (
+        w.groupBy("win_h")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("df") > 1)
+    )
+    bad_pos = (
+        w.join(dup, "win_h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + _SPAN_K - 1)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("p"), "tok")
+    )
+    clean = (
+        tok.join(bad_pos, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "tok"))).alias("a"))
+        .select(
+            "doc_id",
+            F.size("a").alias("n_kept"),
+            F.array_join(F.transform("a", lambda x: x["tok"]), " ").alias(
+                "clean_text"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+ORACLE_SCRUB_DUP_SPANS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, i, array_to_string(t[i:i + {_SPAN_K - 1}], ' ') AS win
+      FROM toks, unnest(range(1, greatest(len(t) - {_SPAN_K} + 2, 1))) AS r(i)),
+dup AS (SELECT win, min(doc_id) AS owner
+        FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+bad AS (SELECT DISTINCT w.doc_id, w.i + o.off AS p
+        FROM w JOIN dup USING (win),
+             unnest(range(0, {_SPAN_K})) AS o(off)
+        WHERE w.doc_id <> dup.owner),
+tok AS (SELECT doc_id, p, t[p] AS tok
+        FROM toks, unnest(range(1, len(t) + 1)) AS rp(p)),
+kept AS (SELECT doc_id, p, tok FROM tok ANTI JOIN bad USING (doc_id, p)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-unigram language-model scoring
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log2-probability under the corpus's own
+    unigram LM — the cheap perplexity proxy curation pipelines use to
+    rank documents for filtering / curriculum mixing (CCNet's LM
+    score, one model class down).
+
+    Plan: one explode -> partial-aggregated vocab count -> the vocab
+    (O(|V|), tiny next to the corpus) BROADCASTS back onto the token
+    stream, as does the 1-row total — so the scoring pass is map-side
+    with the per-doc mean the only shuffle.  At 100 TB a web-scale
+    vocab still fits executor memory after minimum-count pruning; if
+    it didn't, the broadcast degrades to a shuffle join on the token
+    key with the same semantics.  Scores round to 6 dp: both engines
+    compute log2 on identical doubles (exact integer ratios), leaving
+    only sub-ulp libm/summation-order noise far below the rounding
+    quantum.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log2(F.col("cnt") / F.col("n_total"))), 6
+            ).alias("logprob2"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(log2(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))), 6)
+         AS logprob2
+FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style staged quality funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STOPWORDS = ("the", "a")
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged quality-filter funnel (Gopher rules, adapted to the
+    corpus): how many documents survive each cumulative gate —
+    min-token-count, stopword floor, type/token ratio, mean word
+    length.  The shape every curation run reports before committing a
+    filter config.
+
+    Every threshold is INTEGER-EXACT (cross-multiplied: stop_cnt*50 >=
+    n instead of stop_cnt/n >= 0.02), so the gate booleans — and hence
+    the funnel counts — carry zero floating-point risk on either
+    engine.  Plan: one map-side pass computes all per-doc features, a
+    single partial-aggregated conditional-sum collapses to one row,
+    and an in-array explode unpivots to the 5-row funnel — exactly one
+    job, no shuffle wider than 1 row.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_cnt = F.size(
+        F.filter(toks, lambda x: x.isin(*_FUNNEL_STOPWORDS))
+    )
+    dist_cnt = F.size(F.array_distinct(toks))
+    chars = F.length("text") - n + 1  # total chars inside words
+    m = d.select(
+        n.alias("n"),
+        stop_cnt.alias("sc"),
+        dist_cnt.alias("dc"),
+        chars.alias("ch"),
+    )
+    c1 = F.col("n") >= 20
+    c2 = F.col("sc") * 50 >= F.col("n")
+    c3 = F.col("dc") * 5 >= F.col("n") * 2
+    c4 = (F.col("ch") >= F.col("n") * 4) & (F.col("ch") <= F.col("n") * 6)
+
+    def npass(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    a = m.agg(
+        F.count("*").cast("bigint").alias("t0"),
+        npass(c1).alias("t1"),
+        npass(c1 & c2).alias("t2"),
+        npass(c1 & c2 & c3).alias("t3"),
+        npass(c1 & c2 & c3 & c4).alias("t4"),
+    )
+    stages = F.array(
+        F.struct(F.lit("0_total").alias("stage"), F.col("t0").alias("n_pass")),
+        F.struct(F.lit("1_min_tokens").alias("stage"), F.col("t1").alias("n_pass")),
+        F.struct(F.lit("2_stopword_floor").alias("stage"), F.col("t2").alias("n_pass")),
+        F.struct(F.lit("3_type_token_ratio").alias("stage"), F.col("t3").alias("n_pass")),
+        F.struct(F.lit("4_mean_word_len").alias("stage"), F.col("t4").alias("n_pass")),
+    )
+    return a.select(F.explode(stages).alias("s")).select("s.stage", "s.n_pass")
+
+
+ORACLE_QUALITY_FUNNEL = """
+WITH m AS (
+  SELECT len(string_split(text, ' ')) AS n,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS sc,
+         len(list_distinct(string_split(text, ' '))) AS dc,
+         length(text) - len(string_split(text, ' ')) + 1 AS ch
+  FROM documents),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN n >= 20 AND sc * 50 >= n
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN n >= 20 AND sc * 50 >= n AND dc * 5 >= n * 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+         CAST(sum(CASE WHEN n >= 20 AND sc * 50 >= n AND dc * 5 >= n * 2
+                        AND ch >= n * 4 AND ch <= n * 6
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t4
+  FROM m)
+SELECT '0_total' AS stage, t0 AS n_pass FROM a
+UNION ALL SELECT '1_min_tokens', t1 FROM a
+UNION ALL SELECT '2_stopword_floor', t2 FROM a
+UNION ALL SELECT '3_type_token_ratio', t3 FROM a
+UNION ALL SELECT '4_mean_word_len', t4 FROM a
+"""
+
+
+CURATION_QUERIES = {
+    "dup_span_report": q_dup_span_report,
+    "scrub_dup_spans": q_scrub_dup_spans,
+    "unigram_logprob": q_unigram_logprob,
+    "quality_funnel": q_quality_funnel,
+}
+
+CURATION_ORACLES = {
+    "dup_span_report": ORACLE_DUP_SPAN_REPORT,
+    "scrub_dup_spans": ORACLE_SCRUB_DUP_SPANS,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "quality_funnel": ORACLE_QUALITY_FUNNEL,
+}
+
+_q.QUERIES.update(CURATION_QUERIES)
+_q.ORACLES.update(CURATION_ORACLES)

@@ -375,20 +375,27 @@ def q_streaming_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp, indir = _stage_stream_input(spark, sf_dir)
     name = "tr_" + _mem_name(tmp)
-    q = (
-        turn_rate(read_transcript_stream(spark, indir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = spark.table(name).select(
-        F.col("win_start").cast("long").alias("win_start"), "role", "n_turns"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return res
+    try:
+        q = (
+            turn_rate(read_transcript_stream(spark, indir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # localCheckpoint detaches the result from the memory-sink table
+        # so the uniquely-named per-invocation table can be dropped —
+        # otherwise each call leaks an in-memory copy on the driver
+        return spark.table(name).select(
+            F.col("win_start").cast("long").alias("win_start"),
+            "role",
+            "n_turns",
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 ORACLE_STREAMING_TURN_RATE = f"""
@@ -414,20 +421,23 @@ def q_streaming_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp, indir = _stage_stream_input(spark, sf_dir)
     name = "prog_" + _mem_name(tmp)
-    q = (
-        conversation_progress(read_transcript_stream(spark, indir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = spark.table(name).groupBy("conv_id").agg(
-        F.max("n_turns").alias("n_turns"), F.max("max_turn").alias("max_turn")
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return res
+    try:
+        q = (
+            conversation_progress(read_transcript_stream(spark, indir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).groupBy("conv_id").agg(
+            F.max("n_turns").alias("n_turns"),
+            F.max("max_turn").alias("max_turn"),
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,20 +462,22 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns.write.parquet(indir)
     turns.write.mode("append").parquet(indir)  # duplicate every turn
     name = "dedup_" + _mem_name(tmp)
-    q = (
-        read_transcript_stream(spark, indir)
-        .dropDuplicates(["conv_id", "turn_idx"])
-        .select("conv_id", "turn_idx", "text")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = spark.table(name)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return res
+    try:
+        q = (
+            read_transcript_stream(spark, indir)
+            .dropDuplicates(["conv_id", "turn_idx"])
+            .select("conv_id", "turn_idx", "text")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,21 +499,23 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("turn_idx")
     ).cast("bigint")
     name = "enrich_" + _mem_name(tmp)
-    q = (
-        read_transcript_stream(spark, indir)
-        .withColumn("doc_id", doc_id)
-        .join(dim, "doc_id")
-        .select("conv_id", "turn_idx", "lang")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = spark.table(name)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return res
+    try:
+        q = (
+            read_transcript_stream(spark, indir)
+            .withColumn("doc_id", doc_id)
+            .join(dim, "doc_id")
+            .select("conv_id", "turn_idx", "lang")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 ORACLE_STREAMING_ENRICH = """

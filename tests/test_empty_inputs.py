@@ -94,6 +94,11 @@ REPRESENTATIVE = [
     "bpe_merges",
     "sparse_retrieval",
     "pii_redact",
+    # quality_funnel is excluded like data_quality_checks: it returns
+    # its 5 fixed stage rows (with zero counts) even on empty input
+    "dup_span_report",
+    "scrub_dup_spans",
+    "unigram_logprob",
 ]
 
 

@@ -381,3 +381,40 @@ def test_pii_redact_zero_exchanges(spark):
     p = plan_of(Q.QUERIES["pii_redact"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") == 0
     assert "EvalPython" not in p
+
+
+def test_dup_span_report_digest_keyed_no_python(spark):
+    """Window generation is a map-side Generate; frequency and join key
+    on the md5 digest; everything stays JVM-side."""
+    p = plan_of(Q.QUERIES["dup_span_report"](spark, SF_DIR))
+    assert n_nodes(p, "Generate") >= 1
+    assert "hashpartitioning(win_h" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_scrub_dup_spans_anti_join_no_python(spark):
+    """Token filtering is a left-anti join on (doc_id, p); no Python,
+    no cartesian expansion anywhere in the rewrite."""
+    p = plan_of(Q.QUERIES["scrub_dup_spans"](spark, SF_DIR))
+    assert "LeftAnti" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_logprob_vocab_broadcast(spark):
+    """The vocab and the 1-row total broadcast onto the token stream;
+    the only real shuffle is the per-doc mean."""
+    p = plan_of(Q.QUERIES["unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_avg" in p or "partial_count" in p
+
+
+def test_quality_funnel_single_row_agg(spark):
+    """All per-doc features fold in one map-side pass; the only
+    exchange carries the 1-row partial aggregate."""
+    p = plan_of(Q.QUERIES["quality_funnel"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert "SinglePartition" in p
+    assert "EvalPython" not in p

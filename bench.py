@@ -118,6 +118,10 @@ HEADLINE = [
     "bpe_merges",
     "sparse_retrieval",
     "pii_redact",
+    "dup_span_report",
+    "scrub_dup_spans",
+    "unigram_logprob",
+    "quality_funnel",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

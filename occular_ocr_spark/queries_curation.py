@@ -46,7 +46,16 @@ def _span_window_hashes(d: DataFrame) -> DataFrame:
     Guard: a doc with fewer than _SPAN_K tokens yields zero windows
     (sequence(1, n-k+1) would DESCEND for n < k — same ANSI trap as
     bigram_pmi).
+
+    The scan is repartitioned to the session parallelism FIRST: the
+    fixture parquet is a single split, and the O(n_tokens × k) window
+    expansion is the expensive map side — on one task it serializes the
+    whole job (the house 1-split pitfall).  Keyed on doc_id so the
+    downstream per-doc aggregations reuse the clustering.
     """
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     wins = F.when(

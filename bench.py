@@ -122,6 +122,7 @@ HEADLINE = [
     "scrub_dup_spans",
     "unigram_logprob",
     "quality_funnel",
+    "cdc_chunks",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

@@ -369,11 +369,129 @@ UNION ALL SELECT '4_mean_word_len', t4 FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash cut points)
+# ---------------------------------------------------------------------------
+
+_CDC_P = 64  # cut when window-hash % P == 0 -> expected chunk ~P chars
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split every document at positions
+    where the 8-char rolling base-31 polynomial (the doc_fingerprint
+    hash, exact in int64) is ≡ 0 mod _CDC_P — the cut rule dedup
+    storage systems (LBFS/rsync lineage) use so that an insertion
+    early in a document shifts at most one chunk boundary, unlike
+    fixed-stride chunking where every downstream chunk changes.
+
+    Cut rule: window starting at 1-based offset i covers chars
+    [i, i+7]; h(i) % P == 0 cuts BEFORE offset i+8, provided the new
+    chunk would be non-empty (i+8 <= n).  Documents shorter than the
+    window yield one whole-document chunk; empty documents yield none.
+    Production refinements (min/max chunk clamps) are config on the
+    same kernel.
+
+    Plan: the hash is one integer ``np.correlate`` per document inside
+    ``mapInPandas`` (dense-math doctrine, SURVEY §4 — the per-offset
+    Catalyst form was measured at ~30 interpreted nodes/char on
+    doc_fingerprint), chunks are emitted 1->N IN-BATCH (the
+    multimodal_frames shape) — zero shuffle, map-side only.  The
+    repartition unlocks the 1-split fixture parquet.
+    """
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    from .queries import _FP_BASE, _FP_WINDOW
+    import numpy as np
+
+    W, P = _FP_WINDOW, _CDC_P
+    weights = [int(_FP_BASE**j) for j in range(W)]
+
+    def chunker(batches):
+        wts = np.array(weights, dtype="int64")
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "start": [],
+                "chunk_len": [],
+                "chunk": [],
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                n = len(t)
+                if n == 0:
+                    continue
+                b = t.encode("utf-8")
+                if len(b) == n:  # pure ASCII: bytes ARE the codes
+                    codes = np.frombuffer(b, dtype="uint8").astype("int64")
+                else:
+                    codes = np.array([ord(c) for c in t], dtype="int64")
+                starts = [1]
+                if n >= W:
+                    h = np.correlate(codes, wts)  # offset i-1 (0-based)
+                    cuts = np.nonzero(h % P == 0)[0] + 1 + W  # s = i + W
+                    starts += [int(s) for s in cuts if s <= n]
+                for idx, s in enumerate(starts):
+                    e = (starts[idx + 1] - 1) if idx + 1 < len(starts) else n
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["start"].append(s)
+                    out["chunk_len"].append(e - s + 1)
+                    out["chunk"].append(t[s - 1 : e])
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        chunker,
+        "doc_id bigint, chunk_idx bigint, start bigint, "
+        "chunk_len bigint, chunk string",
+    )
+
+
+def _cdc_terms() -> str:
+    from .queries import _FP_BASE, _FP_WINDOW
+
+    return " + ".join(
+        f"ascii(substring(text, i + {j}, 1)) * CAST({_FP_BASE**j} AS BIGINT)"
+        for j in range(_FP_WINDOW)
+    )
+
+
+def _oracle_cdc() -> str:
+    from .queries import _FP_WINDOW as W
+
+    return f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+offs AS (SELECT doc_id, text, n,
+                unnest(range(1, greatest(n - {W} + 2, 1))) AS i
+         FROM docs),
+cuts AS (SELECT doc_id, i + {W} AS s
+         FROM offs
+         WHERE ({_cdc_terms()}) % {_CDC_P} = 0 AND i + {W} <= n),
+starts AS (SELECT doc_id, CAST(1 AS BIGINT) AS s FROM docs WHERE n > 0
+           UNION ALL SELECT doc_id, s FROM cuts),
+ord AS (SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                 AS chunk_idx,
+               lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+        FROM starts)
+SELECT o.doc_id, o.chunk_idx, o.s AS start,
+       coalesce(o.nxt, d.n + 1) - o.s AS chunk_len,
+       substring(d.text, CAST(o.s AS INT),
+                 CAST(coalesce(o.nxt, d.n + 1) - o.s AS INT)) AS chunk
+FROM ord o JOIN docs d USING (doc_id)
+"""
+
+
 CURATION_QUERIES = {
     "dup_span_report": q_dup_span_report,
     "scrub_dup_spans": q_scrub_dup_spans,
     "unigram_logprob": q_unigram_logprob,
     "quality_funnel": q_quality_funnel,
+    "cdc_chunks": q_cdc_chunks,
 }
 
 CURATION_ORACLES = {
@@ -381,6 +499,7 @@ CURATION_ORACLES = {
     "scrub_dup_spans": ORACLE_SCRUB_DUP_SPANS,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "quality_funnel": ORACLE_QUALITY_FUNNEL,
+    "cdc_chunks": _oracle_cdc(),
 }
 
 _q.QUERIES.update(CURATION_QUERIES)

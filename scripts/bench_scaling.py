@@ -177,7 +177,17 @@ def _run_executor_mode(
     JVMs pinned to disjoint core sets, each owning a disjoint conv_id
     shard — separate heaps, schedulers and Python worker pools, exactly
     like executors on a real cluster (minus the network).  Aggregate
-    throughput = sum over concurrently-running JVMs."""
+    throughput = sum over concurrently-running JVMs.
+
+    Why not tune the single local[32] JVM instead?  The 1x32-vs-4x8 gap
+    was A/B'd against the GC hypothesis (G1 default vs -XX:+UseParallelGC,
+    same fixture, both orders, 2026-08-17): whichever config ran SECOND
+    won by ~40% both times (163k vs 225k, then 163k vs 260k reversed) —
+    i.e. the gap between back-to-back 32-core legs is host/warm-up drift,
+    not collector choice, and no GC flag is warranted.  The structural
+    multi-JVM advantage (independent heaps and Python worker pools) is
+    what a real cluster gives for free, which is why the executor-mode
+    row is the cluster-faithful one."""
     load = _wait_quiet(f"executor-mode {n_jvms}x{cores_each}")
     procs = [
         _spawn_child(

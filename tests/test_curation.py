@@ -114,6 +114,37 @@ def test_quality_funnel_gate_by_gate(spark, tmp_path):
     assert rows["4_mean_word_len"] == 1
 
 
+def test_cdc_chunks_reconstruct_and_shift(spark, tmp_path):
+    """Chunks tile the document exactly, and — the property content-
+    defined chunking exists for — an insertion near the head leaves the
+    tail chunks byte-identical (fixed-stride chunking would shift every
+    downstream chunk)."""
+    base = (
+        "key agg row scan slow fast table value part hash value table "
+        "part a row fast merge batch part value fast spark a a the line"
+    )
+    d = _write_docs(spark, tmp_path, [base, "XY " + base, "short", ""])
+    rows = QUERIES["cdc_chunks"](spark, d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in ((0, base), (1, "XY " + base), (2, "short")):
+        ch = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert "".join(r["chunk"] for r in ch) == text
+        # starts are contiguous: each chunk begins where the last ended
+        pos = 1
+        for r in ch:
+            assert r["start"] == pos and r["chunk_len"] == len(r["chunk"])
+            pos += r["chunk_len"]
+    assert 3 not in by_doc  # empty doc -> zero chunks
+    assert len(by_doc[2]) == 1  # sub-window doc -> one whole chunk
+    # insertion-shift property: chunks strictly after the perturbed
+    # region are identical byte strings in both documents
+    tail0 = {r["chunk"] for r in by_doc[0] if r["start"] > 20}
+    tail1 = {r["chunk"] for r in by_doc[1] if r["start"] > 23}
+    assert tail0 & tail1, (tail0, tail1)
+
+
 def test_curation_entries_total_on_degenerate_docs(spark, tmp_path):
     """Empty text and single-token docs must not crash any entry
     (sequence() ANSI traps)."""
@@ -123,5 +154,6 @@ def test_curation_entries_total_on_degenerate_docs(spark, tmp_path):
         "scrub_dup_spans",
         "unigram_logprob",
         "quality_funnel",
+        "cdc_chunks",
     ):
         assert QUERIES[name](spark, d).count() >= 0

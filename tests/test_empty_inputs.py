@@ -99,6 +99,7 @@ REPRESENTATIVE = [
     "dup_span_report",
     "scrub_dup_spans",
     "unigram_logprob",
+    "cdc_chunks",
 ]
 
 

@@ -418,3 +418,12 @@ def test_quality_funnel_single_row_agg(spark):
     assert n_nodes(p, "Exchange") == 1
     assert "SinglePartition" in p
     assert "EvalPython" not in p
+
+
+def test_cdc_chunks_mapside_kernel_single_exchange(spark):
+    """The rolling-hash chunker is one Arrow-batched kernel after the
+    explicit repartition — no shuffle downstream, no per-row Python."""
+    p = plan_of(Q.QUERIES["cdc_chunks"](spark, SF_DIR))
+    assert "MapInPandas" in p
+    assert n_nodes(p, "Exchange") == 1
+    assert "BatchEvalPython" not in p

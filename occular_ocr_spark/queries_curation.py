@@ -155,6 +155,12 @@ def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel per document.
     """
     d = _t(spark, sf_dir, "documents")
+    # repartition ONCE here so the token explode and the n_tokens scan
+    # parallelize too; the helper's internal repartition on the same key
+    # collapses into this one (CollapseRepartition)
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     w = _span_window_hashes(d)
     dup = (
         w.groupBy("win_h")
@@ -251,6 +257,11 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantum.
     """
     d = _t(spark, sf_dir, "documents")
+    # same 1-split-fixture fix as _span_window_hashes: the token explode
+    # is the heavy map side and must not run on a single input split
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))

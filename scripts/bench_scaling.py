@@ -493,6 +493,12 @@ confound.)
 
 The ceiling-relative column is the framework's own scaling — the
 north-rule criterion with the single-box silicon confound factored out.
+Read values above 1.0 as "indistinguishable from the silicon ceiling",
+not "faster than the hardware": the ceiling legs run minutes apart from
+the Spark legs, and back-to-back 32-core legs on this host drift by up
+to ~40% from warm-up/turbo state alone (measured in the GC A/B of
+2026-08-17 — whichever config ran second won, both orders), so a true
+ceiling can be under-measured by that much.
 
 ## Executor-mode proxy: 1 executor vs 4 executors
 

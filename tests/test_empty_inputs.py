@@ -95,7 +95,9 @@ REPRESENTATIVE = [
     "sparse_retrieval",
     "pii_redact",
     # quality_funnel is excluded like data_quality_checks: it returns
-    # its 5 fixed stage rows (with zero counts) even on empty input
+    # its 5 fixed stage rows even on empty input (count 0 for stage 0,
+    # NULL conditional sums for stages 1-4 — sum over zero rows is NULL
+    # on both engines, so oracle parity still holds)
     "dup_span_report",
     "scrub_dup_spans",
     "unigram_logprob",

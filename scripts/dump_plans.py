@@ -105,6 +105,24 @@ SHOWCASE = [
     ("pii_redact",
      "inject + redact + digest inside one codegen stage, zero "
      "exchanges"),
+    ("dup_span_report",
+     "span-level duplication audit: in-array window digests map-side, "
+     "both shuffles keyed on the 128-bit digest / doc_id — df is a "
+     "scalar per digest, no pair materialization to cap"),
+    ("scrub_dup_spans",
+     "C4-style scrub: dup digests + owners partial-agg, covered token "
+     "positions via in-array sequence, left-anti filter, per-doc "
+     "in-group reassembly — never a global sort"),
+    ("unigram_logprob",
+     "corpus-LM scoring: vocab and the 1-row total broadcast onto the "
+     "token stream; only the per-doc mean shuffles"),
+    ("quality_funnel",
+     "staged gates as one map-side conditional-sum pass: single 1-row "
+     "exchange, integer-exact thresholds"),
+    ("cdc_chunks",
+     "content-defined chunking: one np.correlate per doc inside "
+     "MapInPandas, 1->N chunk rows in-batch, zero shuffle after the "
+     "parallelism repartition"),
 ]
 
 

@@ -123,6 +123,8 @@ HEADLINE = [
     "unigram_logprob",
     "quality_funnel",
     "cdc_chunks",
+    "profile_table",
+    "zorder_cluster",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

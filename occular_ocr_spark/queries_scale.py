@@ -1546,6 +1546,153 @@ FROM vq, qq
 """
 
 
+# ---------------------------------------------------------------------------
+# One-pass column profiling (Deequ-style)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+# one template renders BOTH engines (the lang_quality/heavy_hitters house
+# pattern): stat -> (Spark column builder, DuckDB SQL term)
+_PROFILE_STATS = (
+    ("n", lambda c: F.count(c).cast("double"), "CAST(count({c}) AS DOUBLE)"),
+    (
+        "n_null",
+        lambda c: (F.count("*") - F.count(c)).cast("double"),
+        "CAST(count(*) - count({c}) AS DOUBLE)",
+    ),
+    (
+        "n_distinct",
+        lambda c: F.countDistinct(c).cast("double"),
+        "CAST(count(DISTINCT {c}) AS DOUBLE)",
+    ),
+    ("min", lambda c: F.min(c).cast("double"), "CAST(min({c}) AS DOUBLE)"),
+    ("max", lambda c: F.max(c).cast("double"), "CAST(max({c}) AS DOUBLE)"),
+    (
+        "sum",
+        lambda c: F.round(F.sum(c), 4).cast("double"),
+        "round(CAST(sum({c}) AS DOUBLE), 4)",
+    ),
+    (
+        "mean",
+        lambda c: F.round(F.avg(c), 6).cast("double"),
+        "round(CAST(avg({c}) AS DOUBLE), 6)",
+    ),
+)
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profiling: count / nulls / exact NDV / min /
+    max / sum / mean for every numeric column of lineitem, in ONE
+    aggregation pass — the pre-ingest audit every pipeline runs before
+    trusting a new snapshot.
+
+    All 28 statistics fold in a single partial-aggregated agg (the
+    count-distincts share one Expand), then an in-array explode
+    unpivots to the (column, stat, value) long form — exactly one job,
+    one 1-row exchange.  At 100 TB the exact NDV swaps for
+    approx_count_distinct (HLL — mergeable, bounded memory); the
+    contract-check oracle pattern of approx_distinct covers that
+    variant.  Sums/means round (partial-agg order); counts/min/max are
+    exact on both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        for stat, builder, _ in _PROFILE_STATS:
+            aggs.append(builder(c).alias(f"{c}__{stat}"))
+    a = li.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(stat).alias("stat"),
+                F.col(f"{c}__{stat}").alias("value"),
+            )
+            for c in _PROFILE_COLS
+            for stat, _, _ in _PROFILE_STATS
+        ]
+    )
+    return a.select(F.explode(cells).alias("s")).select(
+        "s.column", "s.stat", "s.value"
+    )
+
+
+ORACLE_PROFILE_TABLE = "\nUNION ALL ".join(
+    f"SELECT '{c}' AS column, '{stat}' AS stat, {term.format(c=c)} AS value "
+    "FROM lineitem"
+    for c in _PROFILE_COLS
+    for stat, _, term in _PROFILE_STATS
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering values (multi-dimensional layout)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_interleave(a, b):
+    """Morton/z-order interleave of the low _Z_BITS bits of two integer
+    columns: bit j of ``a`` lands at position 2j, bit j of ``b`` at
+    2j+1 — a fixed tree of 2*_Z_BITS shift/mask terms, whole-stage
+    codegen'd, zero shuffle."""
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(
+            F.shiftleft(F.shiftright(a, j).bitwiseAND(F.lit(1)), 2 * j)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering values over (l_partkey, l_suppkey) —
+    the space-filling-curve primitive behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``: sorting by the interleaved value gives
+    every file a tight bounding box on BOTH dimensions, so min/max
+    data skipping prunes scans filtered on either column (a plain sort
+    clusters only its leading column).
+
+    The z-value is a pure map-side integer expression (32 shift/mask
+    terms, exact in BIGINT on both engines); ``zbucket`` (the high
+    bits) is the file-assignment key a table-maintenance job would
+    range-partition on.  tests/test_write_layout.py pins the actual
+    skipping benefit: z-sorted parquet row-groups bound both key
+    ranges, single-column-sorted ones do not.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    z = _z_interleave(F.col("l_partkey"), F.col("l_suppkey"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        z.alias("zval"),
+        F.shiftright(z, 14).alias("zbucket"),
+    )
+
+
+def _oracle_zorder() -> str:
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"(((l_partkey >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((l_suppkey >> {j}) & 1) << {2 * j + 1})")
+    zexpr = " + ".join(terms)
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({zexpr} AS BIGINT) AS zval,
+       CAST(({zexpr}) >> 14 AS BIGINT) AS zbucket
+FROM lineitem
+"""
+
+
 SCALE_QUERIES = {
     "skew_join_salted": q_skew_join_salted,
     "sql_udf_extract": q_sql_udf_extract,
@@ -1566,6 +1713,8 @@ SCALE_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "sparse_retrieval": q_sparse_retrieval,
     "pii_redact": q_pii_redact,
+    "profile_table": q_profile_table,
+    "zorder_cluster": q_zorder_cluster,
 }
 
 SCALE_ORACLES = {
@@ -1588,6 +1737,8 @@ SCALE_ORACLES = {
     "bpe_merges": ORACLE_BPE_MERGES,
     "sparse_retrieval": ORACLE_SPARSE_RETRIEVAL,
     "pii_redact": ORACLE_PII_REDACT,
+    "profile_table": ORACLE_PROFILE_TABLE,
+    "zorder_cluster": _oracle_zorder(),
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

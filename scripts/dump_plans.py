@@ -123,6 +123,12 @@ SHOWCASE = [
      "content-defined chunking: one np.correlate per doc inside "
      "MapInPandas, 1->N chunk rows in-batch, zero shuffle after the "
      "parallelism repartition"),
+    ("profile_table",
+     "one-pass table profiling: 28 statistics (incl. 4 exact NDVs over "
+     "one shared Expand) in a single agg, only 1-row partials shuffle"),
+    ("zorder_cluster",
+     "Morton interleave as a codegen'd integer expression tree: zero "
+     "exchanges, the layout key for 2-D data skipping"),
 ]
 
 

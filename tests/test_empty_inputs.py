@@ -102,6 +102,7 @@ REPRESENTATIVE = [
     "scrub_dup_spans",
     "unigram_logprob",
     "cdc_chunks",
+    "zorder_cluster",
 ]
 
 

@@ -427,3 +427,23 @@ def test_cdc_chunks_mapside_kernel_single_exchange(spark):
     assert "MapInPandas" in p
     assert n_nodes(p, "Exchange") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_profile_table_single_pass(spark):
+    """All 28 statistics (incl. 4 exact NDVs via one shared Expand)
+    fold in a single aggregation: one 1-row exchange, no Python."""
+    p = plan_of(Q.QUERIES["profile_table"](spark, SF_DIR))
+    assert "Expand" in p
+    # the multi-distinct two-phase agg carries 1-row partials through
+    # its two SinglePartition exchanges — nothing row-scaled shuffles
+    assert n_nodes(p, "Exchange") <= 2 and "SinglePartition" in p
+    assert "EvalPython" not in p
+
+
+def test_zorder_cluster_pure_mapside(spark):
+    """The Morton interleave is a codegen'd integer expression tree —
+    zero exchanges, zero Python."""
+    p = plan_of(Q.QUERIES["zorder_cluster"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 0
+    assert "* Project" in p  # codegen'd (starred) projection
+    assert "EvalPython" not in p

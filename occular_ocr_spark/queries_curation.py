@@ -247,8 +247,11 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one explode -> partial-aggregated vocab count -> the vocab
     (O(|V|), tiny next to the corpus) BROADCASTS back onto the token
-    stream, as does the 1-row total — so the scoring pass is map-side
-    with the per-doc mean the only shuffle.  At 100 TB a web-scale
+    stream, as does the 1-row total — so the scoring pass itself is
+    map-side.  What shuffles: the vocab build's token-keyed exchange
+    (map-combined partials, O(|V| x partitions) rows) and the 1-row
+    total; the per-doc mean adds NO exchange — it reuses the doc_id
+    repartition already in place.  At 100 TB a web-scale
     vocab still fits executor memory after minimum-count pruning; if
     it didn't, the broadcast degrades to a shuffle join on the token
     key with the same semantics.  Scores round to 6 dp: both engines

@@ -1589,12 +1589,16 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All 28 statistics fold in a single partial-aggregated agg (the
     count-distincts share one Expand), then an in-array explode
-    unpivots to the (column, stat, value) long form — exactly one job,
-    one 1-row exchange.  At 100 TB the exact NDV swaps for
-    approx_count_distinct (HLL — mergeable, bounded memory); the
-    contract-check oracle pattern of approx_distinct covers that
-    variant.  Sums/means round (partial-agg order); counts/min/max are
-    exact on both engines.
+    unpivots to the (column, stat, value) long form — one table scan,
+    one job.  Shuffle honesty: because the NDVs are EXACT, the first
+    exchange is hash-partitioned on the distinct-value columns and
+    carries NDV-scaled partials (near row-scaled for
+    l_extendedprice); only the second exchange is the 1-row
+    SinglePartition merge.  At 100 TB the exact NDV swaps for
+    approx_count_distinct (HLL — mergeable, bounded memory, turns the
+    whole agg into 1-row partials); the contract-check oracle pattern
+    of approx_distinct covers that variant.  Sums/means round
+    (partial-agg order); counts/min/max are exact on both engines.
     """
     li = _t(spark, sf_dir, "lineitem")
     aggs = []
@@ -1618,11 +1622,23 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PROFILE_TABLE = "\nUNION ALL ".join(
-    f"SELECT '{c}' AS column, '{stat}' AS stat, {term.format(c=c)} AS value "
-    "FROM lineitem"
-    for c in _PROFILE_COLS
-    for stat, _, term in _PROFILE_STATS
+# One scan, mirroring the Spark side's one-pass structure: all 28
+# aggregates in a single SELECT, then the 1-row result unpivots via
+# UNION ALL (28 scans of a 1-row CTE, not 28 scans of lineitem).
+ORACLE_PROFILE_TABLE = (
+    "WITH a AS (SELECT "
+    + ", ".join(
+        f"{term.format(c=c)} AS {c}__{stat}"
+        for c in _PROFILE_COLS
+        for stat, _, term in _PROFILE_STATS
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{c}' AS column, '{stat}' AS stat, {c}__{stat} AS value "
+        "FROM a"
+        for c in _PROFILE_COLS
+        for stat, _, _ in _PROFILE_STATS
+    )
 )
 
 
@@ -1631,6 +1647,11 @@ ORACLE_PROFILE_TABLE = "\nUNION ALL ".join(
 # ---------------------------------------------------------------------------
 
 _Z_BITS = 16
+# zbucket keeps the top _Z_BUCKET_BITS of the 2*_Z_BITS-bit z-value —
+# the shift is DERIVED so retuning _Z_BITS (e.g. 21 for sf100 key
+# ranges) keeps "the high bits" semantics in both renderers.
+_Z_BUCKET_BITS = 18
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - _Z_BUCKET_BITS
 
 
 def _z_interleave(a, b):
@@ -1675,7 +1696,7 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         z.alias("zval"),
-        F.shiftright(z, 14).alias("zbucket"),
+        F.shiftright(z, _Z_BUCKET_SHIFT).alias("zbucket"),
     )
 
 
@@ -1688,7 +1709,7 @@ def _oracle_zorder() -> str:
     return f"""
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        CAST({zexpr} AS BIGINT) AS zval,
-       CAST(({zexpr}) >> 14 AS BIGINT) AS zbucket
+       CAST(({zexpr}) >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket
 FROM lineitem
 """
 

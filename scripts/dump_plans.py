@@ -114,8 +114,10 @@ SHOWCASE = [
      "positions via in-array sequence, left-anti filter, per-doc "
      "in-group reassembly — never a global sort"),
     ("unigram_logprob",
-     "corpus-LM scoring: vocab and the 1-row total broadcast onto the "
-     "token stream; only the per-doc mean shuffles"),
+     "corpus-LM scoring: vocab partials shuffle on the token key "
+     "(O(|V|) rows) + a 1-row total, both broadcast back onto the "
+     "token stream; the per-doc mean reuses the doc_id repartition "
+     "(no extra exchange)"),
     ("quality_funnel",
      "staged gates as one map-side conditional-sum pass: single 1-row "
      "exchange, integer-exact thresholds"),
@@ -125,7 +127,10 @@ SHOWCASE = [
      "parallelism repartition"),
     ("profile_table",
      "one-pass table profiling: 28 statistics (incl. 4 exact NDVs over "
-     "one shared Expand) in a single agg, only 1-row partials shuffle"),
+     "one shared Expand) in a single agg; the exact NDVs make the "
+     "first exchange hash-partitioned on the distinct values "
+     "(NDV-scaled) — the approx_count_distinct swap (see "
+     "approx_distinct) is what makes it 1-row-mergeable at 100 TB"),
     ("zorder_cluster",
      "Morton interleave as a codegen'd integer expression tree: zero "
      "exchanges, the layout key for 2-D data skipping"),

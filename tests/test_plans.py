@@ -431,12 +431,15 @@ def test_cdc_chunks_mapside_kernel_single_exchange(spark):
 
 def test_profile_table_single_pass(spark):
     """All 28 statistics (incl. 4 exact NDVs via one shared Expand)
-    fold in a single aggregation: one 1-row exchange, no Python."""
+    fold in a single aggregation pass over ONE table scan."""
     p = plan_of(Q.QUERIES["profile_table"](spark, SF_DIR))
     assert "Expand" in p
-    # the multi-distinct two-phase agg carries 1-row partials through
-    # its two SinglePartition exchanges — nothing row-scaled shuffles
-    assert n_nodes(p, "Exchange") <= 2 and "SinglePartition" in p
+    # exactly two exchanges: the exact-NDV stage hash-partitions on
+    # the distinct-value columns (NDV-scaled — the honest cost of
+    # EXACT countDistinct; approx_count_distinct is the 1-row swap),
+    # then a SinglePartition merge of the 1-row finals
+    assert n_nodes(p, "Exchange") == 2
+    assert "hashpartitioning" in p and "SinglePartition" in p
     assert "EvalPython" not in p
 
 

@@ -125,6 +125,9 @@ HEADLINE = [
     "cdc_chunks",
     "profile_table",
     "zorder_cluster",
+    "turn_structure_qa",
+    "context_windows",
+    "link_extract",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

@@ -1,0 +1,329 @@
+"""Transcript-structure catalog, round 3 (session 4): the operators
+that act on the CONVERSATION shape itself — the (conv_id, turn_idx,
+role, text, tool) table the north rule names as the engine's input.
+
+Three entries:
+
+* ``turn_structure_qa`` — per-conversation structural quality gate
+  (role-alternation runs, turn-index contiguity, tool-call mix): the
+  transcript analog of the Gopher-style document gates in
+  queries_pipeline, and the filter an agent-transcript corpus runs
+  before training (malformed multi-turn structure poisons chat
+  fine-tunes the way boilerplate poisons pretraining).
+* ``context_windows`` — sliding chat-history packing: each turn paired
+  with its previous-k turns as training context, the turn->example
+  expansion every SFT pipeline performs.
+* ``link_extract`` — URL extraction + host-level stats over raw turn
+  payloads: the domain-mix signal web-scale curation weights by
+  (sibling of domain_mix_weights, which starts from a pre-extracted
+  source column).
+
+House contract: transcripts synthesize deterministically from the
+documents table (conv_id = doc_id // 10, turn_idx = doc_id % 10 — the
+same wrapping as q_extract_transcripts, queries.py:2285), the Spark
+plan is the 100 TB design, and a DuckDB oracle replays the exact
+semantics for the value-hash gate.  Self-registers into
+queries.QUERIES / queries.ORACLES on import (same pattern as
+queries_ext / queries_pipeline / queries_scale / queries_curation).
+
+Reference parity: the reference engine is per-document; conversation
+structure is the cross-turn layer the north rule adds on top
+(multi-turn agent transcripts).  Reading-order restoration inside one
+page is reference behavior (postprocess.py sort); turn-order-dependent
+windows here are its conversation-level analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# Deterministic transcript synthesis (shared by all three entries)
+# ---------------------------------------------------------------------------
+#
+# Roles alternate user/assistant by turn parity, with an injected
+# violation class (doc_id % 17 == 3 forces 'assistant') so role-run
+# detection has real work; doc_id % 23 == 5 turns are DROPPED so
+# turn-index contiguity has real gaps; tool calls attach to a subset of
+# assistant turns.  The oracle CTE mirrors every branch.
+
+_DROP_MOD, _DROP_VAL = 23, 5
+_VIOL_MOD, _VIOL_VAL = 17, 3
+
+
+def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _DROP_MOD != _DROP_VAL
+    )
+    role = (
+        F.when(F.col("doc_id") % _VIOL_MOD == _VIOL_VAL, F.lit("assistant"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    t = d.select(
+        F.concat(
+            F.lit("conv-"), (F.col("doc_id") / 10).cast("bigint").cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        "doc_id",
+        "text",
+    )
+    tool = (
+        F.when(
+            (F.col("role") == "assistant") & (F.col("doc_id") % 7 == 0),
+            F.lit("search"),
+        )
+        .when(
+            (F.col("role") == "assistant") & (F.col("doc_id") % 7 == 3),
+            F.lit("code"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return t.withColumn("tool", tool)
+
+
+_ORACLE_TURNS = f"""
+  SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 10 AS INT) AS turn_idx,
+         CASE WHEN doc_id % {_VIOL_MOD} = {_VIOL_VAL} THEN 'assistant'
+              WHEN doc_id % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         doc_id, text
+  FROM documents
+  WHERE doc_id % {_DROP_MOD} <> {_DROP_VAL}
+"""
+
+_ORACLE_TURNS_TOOL = f"""
+  SELECT *,
+         CASE WHEN role = 'assistant' AND doc_id % 7 = 0 THEN 'search'
+              WHEN role = 'assistant' AND doc_id % 7 = 3 THEN 'code'
+         END AS tool
+  FROM ({_ORACLE_TURNS})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-conversation structural QA gate
+# ---------------------------------------------------------------------------
+
+
+def q_turn_structure_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation transcript-structure audit: turn counts, role
+    balance, the longest same-role run (role-alternation violations),
+    tool-call turns, and turn-index contiguity (dropped/missing turns).
+
+    Plan: ONE exchange total.  The lag/running-sum windows hash-
+    partition on conv_id; the (conv_id, run_id) run-length aggregation
+    and the final per-conv rollup both reuse that partitioning
+    (hashpartitioning(conv) serves any clustering keyed on a superset
+    — the repetition_ratio house pattern).  Run detection is the
+    standard gaps-and-islands running sum, O(1) state per row; nothing
+    row-scaled shuffles twice.  At 100 TB the input would already be
+    Iceberg-bucketed by hash(conv_id) (the north rule's layout), making
+    even this one exchange a local sort.
+    """
+    t = _turns(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    new_run = F.when(prev.isNull() | (prev != F.col("role")), 1).otherwise(0)
+    runs = t.withColumn("run_id", F.sum(new_run).over(w))
+    per_run = runs.groupBy("conv_id", "run_id").agg(
+        F.count("*").alias("run_len"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_t"),
+        F.max("turn_idx").alias("mx"),
+    )
+    return per_run.groupBy("conv_id").agg(
+        F.sum("run_len").cast("int").alias("n_turns"),
+        F.sum("n_a").cast("int").alias("n_assistant"),
+        F.sum("n_t").cast("int").alias("tool_turns"),
+        F.max("run_len").cast("int").alias("max_role_run"),
+        F.count("*").cast("int").alias("n_runs"),
+        (F.max("mx") == F.sum("run_len") - 1).alias("contiguous"),
+    )
+
+
+ORACLE_TURN_STRUCTURE_QA = f"""
+WITH t AS ({_ORACLE_TURNS_TOOL}),
+r AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CASE WHEN lag(role) OVER w IS NULL
+                   OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS new_run
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+runs AS (
+  SELECT *, sum(new_run) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM r),
+per_run AS (
+  SELECT conv_id, run_id, count(*) AS run_len,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_t,
+         max(turn_idx) AS mx
+  FROM runs GROUP BY conv_id, run_id)
+SELECT conv_id,
+       CAST(sum(run_len) AS INT) AS n_turns,
+       CAST(sum(n_a) AS INT) AS n_assistant,
+       CAST(sum(n_t) AS INT) AS tool_turns,
+       CAST(max(run_len) AS INT) AS max_role_run,
+       CAST(count(*) AS INT) AS n_runs,
+       (max(mx) = sum(run_len) - 1) AS contiguous
+FROM per_run GROUP BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding chat-history packing (turn -> training example)
+# ---------------------------------------------------------------------------
+
+_CTX_TURNS = 3  # previous turns packed as context
+
+
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-history packing: every turn becomes a training example
+    (context = the previous ``_CTX_TURNS`` turns joined by newline,
+    target = the turn itself) — the turn->example expansion an SFT
+    pipeline runs over extracted transcripts.
+
+    Plan: ONE exchange (the conv_id window partition); the sliding
+    frame is ``collect_list OVER (ROWS BETWEEN 3 PRECEDING AND 1
+    PRECEDING)``, so each turn's text crosses the wire exactly ONCE
+    and the k-fold context duplication happens inside the sorted
+    window operator — the self-join formulation (turns x offsets)
+    would shuffle k x the bytes to build the same frames.  First turns
+    get an empty context (empty frame -> empty array -> ''), the empty
+    guard R1's conversation-level analog.
+    """
+    t = _turns(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-_CTX_TURNS, -1)
+    )
+    ctx = F.collect_list("text").over(w)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.size(ctx).cast("int").alias("n_context"),
+        F.array_join(ctx, "\n").alias("context"),
+        F.col("text").alias("target"),
+    )
+
+
+ORACLE_CONTEXT_WINDOWS = f"""
+WITH t AS ({_ORACLE_TURNS})
+SELECT conv_id, turn_idx, role,
+       CAST(count(*) OVER w AS INT) AS n_context,
+       coalesce(string_agg(text, chr(10)) OVER w, '') AS context,
+       text AS target
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN {_CTX_TURNS} PRECEDING AND 1 PRECEDING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + host-level stats
+# ---------------------------------------------------------------------------
+
+_URL_RE = "https?://[^ ]+"       # corpus is single-spaced ASCII: ' ' ends a URL
+_HOST_RE = "https?://([^/ ]+)"   # capture group 1 = host
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-host stats over raw turn payloads: the
+    outlink/domain signal web curation pipelines weight and filter by
+    (host allowlists, per-domain caps).  Payloads embed zero, one, or
+    two synthetic URLs (doc_id % 3 == 1 -> none; doc_id % 6 == 0 -> a
+    second host), so the extractor's empty / multi-match paths are
+    both exercised.
+
+    Plan: regex extract-all + explode are pure map-side (codegen'd JVM
+    regex, no Python); the per-host rollup is a bounded-key partial
+    agg.  The exact distinct-doc count adds the standard two-phase
+    Expand exchange on (host, doc_id) — map-side partial dedup bounds
+    it at one row per (host, doc, partition); at 100 TB swap
+    ``approx_count_distinct`` (the approx_distinct contract-check
+    pattern) to make the whole rollup 1-row-mergeable.
+    """
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    url1 = F.concat(
+        F.lit("https://h"),
+        (doc % 13).cast("string"),
+        F.lit(".example.com/p"),
+        doc.cast("string"),
+    )
+    payload = F.when(doc % 3 == 1, F.col("text")).otherwise(
+        F.concat(F.lit("see "), url1, F.lit(" "), F.col("text"))
+    )
+    payload = F.when(
+        doc % 6 == 0,
+        F.concat(
+            payload,
+            F.lit(" https://h"),
+            ((doc + 1) % 13).cast("string"),
+            F.lit(".example.com/x"),
+        ),
+    ).otherwise(payload)
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(payload.alias("p"), F.lit(_URL_RE), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id", F.regexp_extract("url", _HOST_RE, 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("int").alias("n_urls"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_LINK_EXTRACT = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN text
+              ELSE 'see https://h' || CAST(doc_id % 13 AS VARCHAR)
+                   || '.example.com/p' || CAST(doc_id AS VARCHAR)
+                   || ' ' || text END AS payload0
+  FROM documents),
+p2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN payload0 || ' https://h'
+                   || CAST((doc_id + 1) % 13 AS VARCHAR) || '.example.com/x'
+              ELSE payload0 END AS payload
+  FROM p),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(payload, '{_URL_RE}')) AS url
+  FROM p2)
+SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host,
+       CAST(count(*) AS INT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS INT) AS n_docs
+FROM u GROUP BY host
+"""
+
+
+TRANSCRIPT_QUERIES = {
+    "turn_structure_qa": q_turn_structure_qa,
+    "context_windows": q_context_windows,
+    "link_extract": q_link_extract,
+}
+
+TRANSCRIPT_ORACLES = {
+    "turn_structure_qa": ORACLE_TURN_STRUCTURE_QA,
+    "context_windows": ORACLE_CONTEXT_WINDOWS,
+    "link_extract": ORACLE_LINK_EXTRACT,
+}
+
+_q.QUERIES.update(TRANSCRIPT_QUERIES)
+_q.ORACLES.update(TRANSCRIPT_ORACLES)

@@ -134,6 +134,18 @@ SHOWCASE = [
     ("zorder_cluster",
      "Morton interleave as a codegen'd integer expression tree: zero "
      "exchanges, the layout key for 2-D data skipping"),
+    ("turn_structure_qa",
+     "per-conversation structure gate: role runs + contiguity + tool "
+     "mix — two windows and two agg levels on ONE conv_id exchange"),
+    ("context_windows",
+     "chat-history packing: sliding collect_list frame duplicates "
+     "context inside the window operator — each turn crosses the wire "
+     "once, not k times"),
+    ("link_extract",
+     "URL/host stats: map-side JVM regex extract-all + explode, "
+     "bounded-key rollup; exact distinct docs = the standard "
+     "(host, doc_id) two-phase (approx_count_distinct is the "
+     "1-row-mergeable swap)"),
 ]
 
 

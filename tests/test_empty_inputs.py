@@ -103,6 +103,9 @@ REPRESENTATIVE = [
     "unigram_logprob",
     "cdc_chunks",
     "zorder_cluster",
+    "turn_structure_qa",
+    "context_windows",
+    "link_extract",
 ]
 
 

@@ -443,6 +443,41 @@ def test_profile_table_single_pass(spark):
     assert "EvalPython" not in p
 
 
+def test_turn_structure_qa_one_exchange(spark):
+    """Gaps-and-islands run detection + two aggregation levels all ride
+    ONE conv_id exchange: the lag/running-sum windows hash-partition on
+    conv_id, and both groupBys ((conv, run_id) then conv) reuse that
+    partitioning — the repetition_ratio subset-clustering pattern."""
+    p = plan_of(Q.QUERIES["turn_structure_qa"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(conv_id" in p
+    assert n_nodes(p, "Window") == 2  # lag + running sum
+    assert "EvalPython" not in p
+
+
+def test_context_windows_one_exchange(spark):
+    """Chat-history packing shuffles each turn's text exactly once: one
+    conv_id window exchange; the k-fold context duplication happens
+    inside the window operator, not on the wire (the self-join
+    formulation would shuffle k x the bytes)."""
+    p = plan_of(Q.QUERIES["context_windows"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(conv_id" in p
+    assert n_nodes(p, "Window") == 1
+    assert "EvalPython" not in p
+
+
+def test_link_extract_mapside_regex(spark):
+    """URL extraction is map-side JVM regex (Generate explode, no
+    Python); the host rollup is the standard two-phase exact-distinct:
+    exchanges on (host, doc_id) partial-deduped then host."""
+    p = plan_of(Q.QUERIES["link_extract"](spark, SF_DIR))
+    assert n_nodes(p, "Generate") == 1
+    assert n_nodes(p, "Exchange") == 2
+    assert "hashpartitioning(host" in p
+    assert "EvalPython" not in p and "BatchEvalPython" not in p
+
+
 def test_zorder_cluster_pure_mapside(spark):
     """The Morton interleave is a codegen'd integer expression tree —
     zero exchanges, zero Python."""

@@ -128,6 +128,10 @@ HEADLINE = [
     "turn_structure_qa",
     "context_windows",
     "link_extract",
+    "pack_sequences_sharded",
+    "loss_mask_spans",
+    "tool_transitions",
+    "conversation_dedup",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",

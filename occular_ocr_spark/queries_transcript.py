@@ -313,16 +313,260 @@ FROM u GROUP BY host
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk, shard-parallel)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 128   # tokens per packed training sequence
+_PACK_SHARD = 100    # docs per independent packing shard
+
+
+def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-LOCAL concat-and-chunk sequence packing: documents are laid
+    end-to-end in doc_id order WITHIN each shard and cut into fixed
+    token-budget packs; a doc belongs to the pack its first token lands
+    in.  Emits the per-doc placement (pack index + token offset inside
+    the pack) — the doc->sequence assignment a pretraining tokenizer job
+    materializes.  Companion of ``pack_sequences`` (queries_pipeline.py),
+    which keeps GLOBAL pack semantics via a two-level distributed prefix
+    sum; this entry is the other production shape — each input split
+    packs independently and pack ids are namespaced by shard.
+
+    Plan: packing is SHARDED (``doc_id // _PACK_SHARD``), so the running
+    token sum is a per-shard window — ONE exchange on shard, and every
+    shard packs independently.  That is the 100 TB design, not a test
+    shortcut: a global cumsum is a single-partition window (one executor
+    owns the corpus), while per-shard packing is how production packers
+    actually run — each input split packs locally and only pack *ids*
+    are namespaced by shard.  Waste is bounded by one doc per pack
+    boundary per shard, amortized to ~0 at real shard sizes.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_SHARD).cast("bigint").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("int").alias("pack_in_shard"),
+        (start % _PACK_BUDGET).cast("int").alias("offset_in_pack"),
+    )
+
+
+ORACLE_PACK_SEQUENCES_SHARDED = f"""
+WITH t AS (
+  SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+            - n_tokens AS start
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(start // {_PACK_BUDGET} AS INT) AS pack_in_shard,
+       CAST(start % {_PACK_BUDGET} AS INT) AS offset_in_pack
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# SFT loss-mask spans over packed chat examples
+# ---------------------------------------------------------------------------
+
+
+def q_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss masking for SFT: for every assistant turn's training example
+    (context = previous ``_CTX_TURNS`` turns + newline, target = the
+    turn), emit the character span of the target inside the packed
+    example — the [mask_start, mask_end) range whose tokens carry loss
+    while the context is masked out.  Companion of q_context_windows:
+    same packing, the supervision-span view of it.
+
+    Plan: identical single conv_id window exchange as context_windows;
+    the span arithmetic is pure map-side length algebra on top, and the
+    assistant-only filter drops user rows after the window (it cannot
+    push below it — the context needs every turn).
+    """
+    t = _turns(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-_CTX_TURNS, -1)
+    )
+    ctx = F.array_join(F.collect_list("text").over(w), "\n")
+    r = t.select("conv_id", "turn_idx", "role", ctx.alias("ctx"), "text")
+    mask_start = F.when(F.col("ctx") == "", F.lit(0)).otherwise(
+        F.length("ctx") + 1
+    )
+    example_len = mask_start + F.length("text")
+    return r.where(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        example_len.cast("int").alias("example_len"),
+        mask_start.cast("int").alias("mask_start"),
+        example_len.cast("int").alias("mask_end"),
+        F.round(F.length("text") / example_len.cast("double"), 6).alias(
+            "mask_frac"
+        ),
+    )
+
+
+ORACLE_LOSS_MASK_SPANS = f"""
+WITH t AS ({_ORACLE_TURNS}),
+c AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(string_agg(text, chr(10)) OVER w, '') AS ctx
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN {_CTX_TURNS} PRECEDING AND 1 PRECEDING))
+SELECT conv_id, turn_idx,
+       CAST(ms + length(text) AS INT) AS example_len,
+       CAST(ms AS INT) AS mask_start,
+       CAST(ms + length(text) AS INT) AS mask_end,
+       round(length(text) / CAST(ms + length(text) AS DOUBLE), 6) AS mask_frac
+FROM (SELECT *, CASE WHEN ctx = '' THEN 0 ELSE length(ctx) + 1 END AS ms
+      FROM c)
+WHERE role = 'assistant'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tool-transition matrix (agent behavior analytics)
+# ---------------------------------------------------------------------------
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive conversation
+    steps (user / assistant / tool:search / tool:code): the Markov view
+    of agent behavior — which tool follows which role, how often runs
+    repeat — that transcript analytics dashboards aggregate.
+
+    Plan: the step label is a map-side CASE; lag rides ONE conv_id
+    window exchange; the final rollup keys on the (tiny, bounded)
+    label-pair space, so its exchange moves at most |labels|^2 rows per
+    partition after partial aggregation.
+    """
+    t = _turns(spark, sf_dir)
+    step = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.col("role"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    s = (
+        t.select("conv_id", "turn_idx", step.alias("step"))
+        .withColumn("prev", F.lag("step").over(w))
+        .where(F.col("prev").isNotNull())
+    )
+    return s.groupBy("prev", "step").agg(
+        F.count("*").cast("int").alias("n"),
+        F.countDistinct("conv_id").cast("int").alias("n_convs"),
+    )
+
+
+ORACLE_TOOL_TRANSITIONS = f"""
+WITH t AS ({_ORACLE_TURNS_TOOL}),
+s AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool IS NOT NULL THEN 'tool:' || tool ELSE role END AS step
+  FROM t),
+l AS (
+  SELECT conv_id, step,
+         lag(step) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM s)
+SELECT prev, step, CAST(count(*) AS INT) AS n,
+       CAST(count(DISTINCT conv_id) AS INT) AS n_convs
+FROM l WHERE prev IS NOT NULL
+GROUP BY prev, step
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level exact dedup (ordered-digest)
+# ---------------------------------------------------------------------------
+
+_CONV_KEY_MOD = 7  # content-canonicalization stand-in (forces collisions)
+
+
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup: a conversation's identity is the
+    md5 of its turn contents IN TURN ORDER, so two transcripts dedupe
+    only if they are the same dialogue, not the same bag of turns.  The
+    per-turn content key is ``doc_id % 7`` — a canonicalization stand-in
+    (production uses the normalized turn text) chosen so the synthetic
+    corpus actually contains duplicate conversations (convs collide by
+    ``conv % 7``).
+
+    Plan: the order-sensitive digest is ``array_sort(collect_list(
+    struct(turn_idx, val)))`` inside ONE per-conv aggregation — state
+    bounded by turns-per-conversation, order restored in-memory per
+    group rather than via a sort exchange; the digest rollup then keys
+    on the (collapsed) digest space.  Two exchanges total, both after
+    partial aggregation.  This is dedup_exact lifted from document to
+    conversation granularity — the transcript-corpus layer of the dedup
+    family.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        (F.col("doc_id") % _CONV_KEY_MOD).cast("int").alias("val"),
+    )
+    per_conv = t.groupBy("conv").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "val"))),
+                    lambda s: s["val"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("digest")
+    )
+    return per_conv.groupBy("digest").agg(
+        F.count("*").cast("int").alias("n_convs"),
+        F.min("conv").alias("canonical_conv"),
+        (F.count("*") - 1).cast("int").alias("n_dups"),
+    )
+
+
+ORACLE_CONVERSATION_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id // 10 AS conv, CAST(doc_id % 10 AS INT) AS turn_idx,
+         CAST(doc_id % {_CONV_KEY_MOD} AS INT) AS val
+  FROM documents),
+p AS (
+  SELECT conv,
+         md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY turn_idx)) AS digest
+  FROM t GROUP BY conv)
+SELECT digest, CAST(count(*) AS INT) AS n_convs,
+       min(conv) AS canonical_conv,
+       CAST(count(*) - 1 AS INT) AS n_dups
+FROM p GROUP BY digest
+"""
+
+
 TRANSCRIPT_QUERIES = {
     "turn_structure_qa": q_turn_structure_qa,
     "context_windows": q_context_windows,
     "link_extract": q_link_extract,
+    "pack_sequences_sharded": q_pack_sequences_sharded,
+    "loss_mask_spans": q_loss_mask_spans,
+    "tool_transitions": q_tool_transitions,
+    "conversation_dedup": q_conversation_dedup,
 }
 
 TRANSCRIPT_ORACLES = {
     "turn_structure_qa": ORACLE_TURN_STRUCTURE_QA,
     "context_windows": ORACLE_CONTEXT_WINDOWS,
     "link_extract": ORACLE_LINK_EXTRACT,
+    "pack_sequences_sharded": ORACLE_PACK_SEQUENCES_SHARDED,
+    "loss_mask_spans": ORACLE_LOSS_MASK_SPANS,
+    "tool_transitions": ORACLE_TOOL_TRANSITIONS,
+    "conversation_dedup": ORACLE_CONVERSATION_DEDUP,
 }
 
 _q.QUERIES.update(TRANSCRIPT_QUERIES)

@@ -146,6 +146,20 @@ SHOWCASE = [
      "bounded-key rollup; exact distinct docs = the standard "
      "(host, doc_id) two-phase (approx_count_distinct is the "
      "1-row-mergeable swap)"),
+    ("pack_sequences_sharded",
+     "shard-local concat-and-chunk packing: per-shard window cumsum — "
+     "one shard exchange, no global sort; pack/offset arithmetic "
+     "map-side (the global-semantics twin is pack_sequences)"),
+    ("loss_mask_spans",
+     "SFT loss masking: target-span offsets inside the packed example, "
+     "same single conv_id window exchange as context_windows"),
+    ("tool_transitions",
+     "agent-step Markov matrix: map-side CASE labels, one conv_id lag "
+     "window, bounded-key (prev, step) rollup"),
+    ("conversation_dedup",
+     "whole-conversation ordered-digest dedup: array_sort(collect_list) "
+     "in ONE per-conv ObjectHashAggregate — order restored in-group, "
+     "not via a sort exchange"),
 ]
 
 

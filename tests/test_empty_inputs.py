@@ -106,6 +106,10 @@ REPRESENTATIVE = [
     "turn_structure_qa",
     "context_windows",
     "link_extract",
+    "pack_sequences_sharded",
+    "loss_mask_spans",
+    "tool_transitions",
+    "conversation_dedup",
 ]
 
 

@@ -478,6 +478,50 @@ def test_link_extract_mapside_regex(spark):
     assert "EvalPython" not in p and "BatchEvalPython" not in p
 
 
+def test_pack_sequences_sharded_one_shard_exchange(spark):
+    """Shard-local sequence packing is shard-parallel: the running token
+    sum is a per-shard window — ONE exchange on shard, no global sort,
+    and the pack/offset arithmetic is map-side on top of the window."""
+    p = plan_of(Q.QUERIES["pack_sequences_sharded"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(shard" in p
+    assert n_nodes(p, "Window") == 1
+    assert "EvalPython" not in p
+
+
+def test_loss_mask_spans_one_exchange(spark):
+    """Loss-mask spans ride the same single conv_id window exchange as
+    context_windows; the span arithmetic adds no shuffle and the
+    assistant filter sits above the window (context needs all turns)."""
+    p = plan_of(Q.QUERIES["loss_mask_spans"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(conv_id" in p
+    assert n_nodes(p, "Window") == 1
+    assert "EvalPython" not in p
+
+
+def test_tool_transitions_window_plus_bounded_agg(spark):
+    """Step labels are a map-side CASE; lag rides one conv_id window
+    exchange; the (prev, step) rollup's exchange is bounded-key after
+    partial aggregation."""
+    p = plan_of(Q.QUERIES["tool_transitions"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 1
+    assert "hashpartitioning(conv_id" in p
+    assert "EvalPython" not in p
+
+
+def test_conversation_dedup_ordered_digest(spark):
+    """Conversation dedup digests turns IN ORDER inside one per-conv
+    ObjectHashAggregate (array_sort of collected structs — no sort
+    exchange); two exchanges total, both post-partial-agg."""
+    p = plan_of(Q.QUERIES["conversation_dedup"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 2
+    assert "ObjectHashAggregate" in p
+    assert "hashpartitioning(conv" in p
+    assert "hashpartitioning(digest" in p
+    assert "EvalPython" not in p
+
+
 def test_zorder_cluster_pure_mapside(spark):
     """The Morton interleave is a codegen'd integer expression tree —
     zero exchanges, zero Python."""

@@ -1,0 +1,287 @@
+"""Retrieval + web-curation catalog, round 3 (session 5): the two
+operators a web-scale corpus pipeline runs that the catalog did not yet
+gate-verify —
+
+* ``bm25_topk`` — Okapi BM25 ranking over the inverted-index shape:
+  the length-normalized, saturating lexical scorer production search
+  actually uses (``sparse_retrieval`` is its unsaturated TF-IDF
+  sibling).  Everything — idf, length norm, the score — is computed
+  IN-PLAN on both engines (no driver-side math), so the value-hash
+  gate pins the full formula.
+* ``url_canonicalize`` — URL canonicalization + frontier dedup: scheme/
+  host lowercasing, default-port strip, fragment strip, tracking-param
+  removal, query-param reordering — the normalization every crawler
+  runs before its seen-URL check, where raw-variant collapse IS the
+  dedup win.
+
+House contract (same as every other catalog module): deterministic
+synthesis from the sf tables, the Spark plan is the 100 TB design, a
+DuckDB oracle replays the exact semantics for the driver's value-hash
+gate, and the module self-registers into queries.QUERIES / ORACLES on
+import.
+
+Reference parity: the reference engine has no retrieval layer; these
+are north-rule additions (the "operations a large-scale training-data
+pipeline would need" tier), sited next to sparse_retrieval
+(queries_scale.py:644) and link_extract (queries_transcript.py:237).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY_TERMS = 3
+_BM25_TOPK = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k: score(d) = sum_t idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl)) with the Lucene idf
+    ln(1 + (N - df + 0.5)/(df + 0.5)); query = the
+    _BM25_QUERY_TERMS highest-df tokens (ties by token), so both
+    engines search for the same thing.
+
+    Scale shape: the corpus is tokenized ONCE into a cached postings
+    lineage (doc_id, tok, tf) — document lengths, document frequencies,
+    and the corpus stats are all partial-agg rollups of it, never a
+    second scan.  The query side is a K-row broadcast (df per query
+    term) and corpus stats ride a 1-row broadcast crossJoin (the
+    domain_mix_weights pattern) — scoring therefore touches ONLY
+    postings of query terms (index-pruned), shuffles once on doc_id to
+    attach lengths, and ends in TakeOrdered.  No driver-side float
+    math: idf and the length norm are Catalyst expressions, so the
+    oracle pins the formula itself, not a Python reimplementation.
+    Both engines rank by the ROUNDED score (doc_id tie-break) so
+    sub-ulp summation order cannot reorder the cut.  At 100 TB the
+    postings/doclen/df tables are the pre-built inverted index this
+    entry's first half materializes; per-query work is the second half
+    only.
+    """
+    postings = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .cache()
+    )
+    dfc = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = dfc.orderBy(F.col("df").desc(), "tok").limit(_BM25_QUERY_TERMS)
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # N = docs with >= 1 token (one definition, derived from the same
+    # lineage on both engines); avg over exact integer sums is exact.
+    tot = doclen.groupBy().agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("nd")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * norm), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+
+
+ORACLE_BM25_TOPK = f"""
+WITH postings AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+q AS (SELECT tok, df FROM dfs ORDER BY df DESC, tok LIMIT {_BM25_QUERY_TERMS}),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+tot AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1 + (tot.nd - q.df + 0.5) / (q.df + 0.5))
+           * p.tf * ({_BM25_K1} + 1)
+           / (p.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                   + {_BM25_B} * dl.dl / tot.avgdl))
+         ), 4) AS score
+  FROM postings p
+  JOIN q USING (tok)
+  JOIN dl USING (doc_id), tot
+  GROUP BY p.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + frontier dedup
+# ---------------------------------------------------------------------------
+#
+# Raw-variant synthesis: four per-doc variants of the "same" resource
+# (doc_id % 4) — mixed-case scheme/host + default port + tracking param
+# + fragment + reordered query; plain reordered query; tracking-only
+# query + default port; bare.  Canonicalization collapses 0 with 1 and
+# 2 with 3, so the entry's output VISIBLY demonstrates the dedup win
+# (n_variants > 1) rather than hashing unchanged strings.
+
+_UTM_PREFIX = "utm_"
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-key dedup rollup: lowercase
+    scheme/host, strip default ports (:80/:443) and fragments, drop
+    ``utm_*`` tracking params, sort surviving query params, then roll
+    up raw variants per canonical URL — the seen-URL normalization at
+    the head of every crawl/curation pipeline.
+
+    Scale shape: canonicalization is 100% map-side codegen'd JVM string
+    ops (regexp_extract for scheme/host/path/query, higher-order
+    filter + array_sort + array_join for the param set — no Python, no
+    UDF); the rollup is ONE partial-agg groupBy on the canonical key.
+    The distinct-raw-variant count is the standard two-phase expand; at
+    100 TB the canonical key is also the natural Iceberg bucket key, so
+    the frontier check becomes a bucket-local anti-join
+    (incremental_extract pattern).
+    """
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    h = (doc % 5).cast("string")
+    p = (doc % 50).cast("string")
+    raw = (
+        F.when(
+            doc % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://H"), h,
+                F.lit(".Example.COM:443/p"), p,
+                F.lit("?b=2&utm_source=x&a=1#frag"),
+            ),
+        )
+        .when(
+            doc % 4 == 1,
+            F.concat(
+                F.lit("https://h"), h, F.lit(".example.com/p"), p,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            doc % 4 == 2,
+            F.concat(
+                F.lit("https://h"), h, F.lit(".example.com:443/p"), p,
+                F.lit("?utm_campaign=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://h"), h, F.lit(".example.com/p"), p)
+        )
+    )
+    u = d.select("doc_id", raw.alias("raw"))
+    scheme = F.lower(F.regexp_extract("raw", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("raw", r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_extract("raw", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("raw", r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.startswith(_UTM_PREFIX),
+        )
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        u.select("doc_id", "raw", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("int").alias("n_urls"),
+            F.countDistinct("raw").cast("int").alias("n_variants"),
+        )
+    )
+
+
+ORACLE_URL_CANONICALIZE = f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             'HTTPS://H' || CAST(doc_id % 5 AS VARCHAR)
+             || '.Example.COM:443/p' || CAST(doc_id % 50 AS VARCHAR)
+             || '?b=2&utm_source=x&a=1#frag'
+           WHEN doc_id % 4 = 1 THEN
+             'https://h' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+             || '?a=1&b=2'
+           WHEN doc_id % 4 = 2 THEN
+             'https://h' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example.com:443/p' || CAST(doc_id % 50 AS VARCHAR)
+             || '?utm_campaign=y'
+           ELSE
+             'https://h' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+         END AS raw
+  FROM documents),
+parts AS (
+  SELECT doc_id, raw,
+         lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)),
+           ':(443|80)$', '') AS host,
+         regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         coalesce(regexp_extract(raw, '\\?([^#]*)', 1), '') AS query
+  FROM u),
+canon AS (
+  SELECT doc_id, raw,
+         scheme || '://' || host || path ||
+         CASE WHEN len(list_sort(list_filter(string_split(query, '&'),
+                     x -> x <> '' AND NOT starts_with(x, '{_UTM_PREFIX}')))) > 0
+              THEN '?' || array_to_string(
+                     list_sort(list_filter(string_split(query, '&'),
+                       x -> x <> '' AND NOT starts_with(x, '{_UTM_PREFIX}'))),
+                     '&')
+              ELSE '' END AS canon_url
+  FROM parts)
+SELECT canon_url,
+       CAST(count(*) AS INT) AS n_urls,
+       CAST(count(DISTINCT raw) AS INT) AS n_variants
+FROM canon GROUP BY canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registration
+# ---------------------------------------------------------------------------
+
+RETRIEVAL_QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "url_canonicalize": q_url_canonicalize,
+}
+
+RETRIEVAL_ORACLES = {
+    "bm25_topk": ORACLE_BM25_TOPK,
+    "url_canonicalize": ORACLE_URL_CANONICALIZE,
+}
+
+_q.QUERIES.update(RETRIEVAL_QUERIES)
+_q.ORACLES.update(RETRIEVAL_ORACLES)

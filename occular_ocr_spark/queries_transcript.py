@@ -549,7 +549,69 @@ FROM p GROUP BY digest
 """
 
 
+# ---------------------------------------------------------------------------
+# Adjacent same-role turn merging
+# ---------------------------------------------------------------------------
+
+
+def q_merge_adjacent_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge runs of consecutive same-role turns into one normalized
+    turn — the transcript canonicalization every SFT pipeline applies
+    before templating (chat formats require strict role alternation;
+    the synthesis's doc_id % 17 == 3 violation class guarantees real
+    multi-turn runs to merge).  Emits one row per merged run: run
+    position, role, how many raw turns merged, the first raw turn
+    index, and the digest of the '\\n'-joined text in turn order.
+
+    Plan: ONE exchange.  The lag/running-sum windows hash-partition on
+    conv_id and the (conv_id, run_id) aggregation reuses that
+    partitioning (the turn_structure_qa house pattern).  In-run text
+    order is pinned JVM-side by sort_array over (turn_idx, text)
+    structs — no collect_list ordering assumption, no Python.  At
+    100 TB this runs bucket-local on the Iceberg hash(conv_id) layout
+    the north rule mandates.
+    """
+    t = _turns(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    new_run = F.when(prev.isNull() | (prev != F.col("role")), 1).otherwise(0)
+    runs = t.withColumn("run_id", F.sum(new_run).over(w))
+    merged_text = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    return runs.groupBy("conv_id", "run_id", "role").agg(
+        F.count("*").cast("int").alias("n_merged"),
+        F.min("turn_idx").cast("int").alias("first_idx"),
+        F.md5(merged_text).alias("merged_digest"),
+    ).withColumn("run_id", F.col("run_id").cast("int"))
+
+
+ORACLE_MERGE_ADJACENT_TURNS = f"""
+WITH t AS ({_ORACLE_TURNS}),
+r AS (
+  SELECT *,
+         CASE WHEN lag(role) OVER w IS NULL
+                   OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS nr
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+runs AS (
+  SELECT *,
+         sum(nr) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM r)
+SELECT conv_id, CAST(run_id AS INT) AS run_id, role,
+       CAST(count(*) AS INT) AS n_merged,
+       CAST(min(turn_idx) AS INT) AS first_idx,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS merged_digest
+FROM runs GROUP BY conv_id, run_id, role
+"""
+
+
 TRANSCRIPT_QUERIES = {
+    "merge_adjacent_turns": q_merge_adjacent_turns,
     "turn_structure_qa": q_turn_structure_qa,
     "context_windows": q_context_windows,
     "link_extract": q_link_extract,
@@ -560,6 +622,7 @@ TRANSCRIPT_QUERIES = {
 }
 
 TRANSCRIPT_ORACLES = {
+    "merge_adjacent_turns": ORACLE_MERGE_ADJACENT_TURNS,
     "turn_structure_qa": ORACLE_TURN_STRUCTURE_QA,
     "context_windows": ORACLE_CONTEXT_WINDOWS,
     "link_extract": ORACLE_LINK_EXTRACT,

@@ -543,6 +543,99 @@ GROUP BY 1
 """
 
 
+_SSJ_REPLY_WINDOW_S = 120  # assistant reply must land within this bound
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join — the last stateful
+    streaming op class the catalog lacked (the other five entries cover
+    window agg, arbitrary state, dedup state, and stream-static join):
+    the user-turn stream inner-joined to the assistant-turn stream on
+    conv_id with the reply constrained to (u.ts, u.ts + 120 s].
+
+    Both sides carry a 10-minute watermark, which is what BOUNDS the
+    join state: Spark buffers each side only until the other side's
+    watermark passes the time-range upper bound, then evicts — without
+    it, stream-stream join state grows with the corpus.  Inner join +
+    append mode emits matches as they are found, so the result is
+    batching-independent (drained here with availableNow; the unbounded
+    run differs only in the trigger).
+
+    Scale: state is hash-partitioned by conv_id (the equi-key), so each
+    task holds only its conversations' in-window turns; skewed
+    mega-conversations are bounded by the watermark horizon, not by
+    conversation length.
+    """
+    from .streaming import read_transcript_stream
+
+    tmp, indir = _stage_stream_input(spark, sf_dir)
+    name = "ssjoin_" + _mem_name(tmp)
+    stream = read_transcript_stream(spark, indir)
+    u = (
+        stream.where(F.col("role") == "user")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("conv_id").alias("u_conv"),
+            F.col("turn_idx").alias("user_idx"),
+            F.col("ts").alias("u_ts"),
+        )
+    )
+    a = (
+        stream.where(F.col("role") == "assistant")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("conv_id").alias("a_conv"),
+            F.col("turn_idx").alias("asst_idx"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    joined = u.join(
+        a,
+        (F.col("u_conv") == F.col("a_conv"))
+        & (F.col("a_ts") > F.col("u_ts"))
+        & (
+            F.col("a_ts")
+            <= F.col("u_ts") + F.expr(f"INTERVAL {_SSJ_REPLY_WINDOW_S} SECONDS")
+        ),
+    ).select(
+        F.col("u_conv").alias("conv_id"),
+        "user_idx",
+        "asst_idx",
+        ((F.unix_micros("a_ts") - F.unix_micros("u_ts")) / 1_000_000)
+        .cast("int")
+        .alias("gap_s"),
+    )
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_STREAMING_JOIN = f"""
+WITH t AS (
+  SELECT 'conv-' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 10 AS INT) AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         {_TS_BASE} + doc_id * 37 AS ts_s
+  FROM documents)
+SELECT u.conv_id, u.turn_idx AS user_idx, a.turn_idx AS asst_idx,
+       CAST(a.ts_s - u.ts_s AS INT) AS gap_s
+FROM t u JOIN t a
+  ON u.conv_id = a.conv_id
+ AND u.role = 'user' AND a.role = 'assistant'
+ AND a.ts_s > u.ts_s AND a.ts_s <= u.ts_s + {_SSJ_REPLY_WINDOW_S}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets + exact quantiles (relational-shell coverage)
 # ---------------------------------------------------------------------------
@@ -867,6 +960,7 @@ EXT_QUERIES = {
     "streaming_progress": q_streaming_progress,
     "streaming_dedup": q_streaming_dedup,
     "streaming_enrich": q_streaming_enrich,
+    "streaming_join": q_streaming_join,
     "multimodal_resize": q_multimodal_resize,
     "cube_counts": q_cube_counts,
     "group_quantiles": q_group_quantiles,
@@ -885,6 +979,7 @@ EXT_ORACLES = {
     "streaming_progress": ORACLE_STREAMING_PROGRESS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_enrich": ORACLE_STREAMING_ENRICH,
+    "streaming_join": ORACLE_STREAMING_JOIN,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "cube_counts": ORACLE_CUBE_COUNTS,
     "group_quantiles": ORACLE_GROUP_QUANTILES,

@@ -160,6 +160,18 @@ SHOWCASE = [
      "whole-conversation ordered-digest dedup: array_sort(collect_list) "
      "in ONE per-conv ObjectHashAggregate — order restored in-group, "
      "not via a sort exchange"),
+    ("winnow_fingerprints",
+     "MOSS winnowing: rolling hash + window-min selection + digest all "
+     "inside one MapInPandas scan stage — zero exchanges at any corpus "
+     "size (selection and digest are per-document)"),
+    ("scd2_dimension",
+     "SCD2 build: ONE user_id exchange serves both windows — change "
+     "detection (lag) and interval chaining (lead + row_number) reuse "
+     "the same hash partitioning, the second pass is sort-only"),
+    ("semdedup",
+     "cluster-local semantic dedup: shared IVF assignment persisted, "
+     "sub-bucketed ShuffledHashJoin pair scan, verdict via left join "
+     "on vec_id — no broadcast of any corpus-sized side"),
 ]
 
 

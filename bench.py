@@ -132,6 +132,15 @@ HEADLINE = [
     "loss_mask_spans",
     "tool_transitions",
     "conversation_dedup",
+    "merge_adjacent_turns",
+    "bm25_topk",
+    "url_canonicalize",
+    "winnow_fingerprints",
+    "scd2_dimension",
+    "semdedup",
+    "merge_upsert",
+    "triangle_count",
+    "sample_k_per_group",
     "embed_quantize_int8",
     "extract_plain_docs",
     "assemble_conversations",
@@ -147,6 +156,7 @@ HEADLINE = [
     "streaming_dedup",
     "streaming_enrich",
     "streaming_sessions",
+    "streaming_join",
 ]
 
 

@@ -2616,3 +2616,4 @@ from . import queries_curation as _queries_curation  # noqa: E402,F401
 from . import queries_transcript as _queries_transcript  # noqa: E402,F401
 from . import queries_retrieval as _queries_retrieval  # noqa: E402,F401
 from . import queries_mining as _queries_mining  # noqa: E402,F401
+from . import queries_warehouse as _queries_warehouse  # noqa: E402,F401

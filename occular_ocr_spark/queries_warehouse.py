@@ -1,0 +1,241 @@
+"""Warehouse/graph catalog, round 3 (session 5, part 2):
+
+* ``merge_upsert`` — MERGE INTO semantics (matched -> update, not
+  matched -> insert, else keep) as a single full-outer join: the exact
+  row-level contract the Iceberg sink's written-out MERGE SQL promises
+  (sink.py), here gate-verified engine-side.  The changes feed is
+  synthesized deterministically from the base table (updates for
+  doc_id % 7 == 0, inserts keyed past the base id range).
+* ``triangle_count`` — per-node triangle counts over the
+  supplier co-order graph (two suppliers are adjacent iff they ship
+  line items of the same order).  The canonical two-join triangle
+  enumeration with LOW->HIGH edge orientation, which is what bounds
+  the join fan-out: each triangle is generated exactly once (a<b<c),
+  never 6 times.
+* ``sample_k_per_group`` — exact-k deterministic sample per group
+  (k=5 per source, ordered by md5(doc_id)): the "k rehearsal examples
+  per domain" op; hash-ordered so the sample is stable under
+  partitioning, insertion order, and id renumbering.
+
+House contract: Spark plan = the 100 TB design, DuckDB oracle replays
+the exact semantics, self-registers into queries.QUERIES / ORACLES on
+import.  Reference parity: axis-B net-new (the reference engine is a
+per-document extractor; these are the table-maintenance / graph /
+sampling ops its output tables need downstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+_MRG_UPD_MOD = 7       # doc_id % 7 == 0 -> update arrives
+_MRG_INS_MOD = 31      # doc_id % 31 == 0 -> an insert arrives (new key)
+_MRG_INS_OFFSET = 10_000_000
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as one full-outer shuffle join on the key.
+
+    WHEN MATCHED -> the change row wins (action 'update'); WHEN NOT
+    MATCHED BY TARGET -> the change row inserts (action 'insert');
+    WHEN NOT MATCHED BY SOURCE -> the base row persists (action
+    'keep').  One pass, one exchange per side on doc_id — the shape
+    Iceberg's copy-on-write MERGE plans, minus the file rewrite.
+
+    Scale: the changes side of a CDC merge is normally a small
+    fraction of the base, but it is NOT broadcast here — a hash join
+    on the key keeps the plan safe when a backfill makes the change
+    set table-sized; AQE downgrades it to broadcast at runtime when
+    the stats allow.
+    """
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    upd = (
+        base.where(F.col("doc_id") % _MRG_UPD_MOD == 0)
+        .select(
+            "doc_id",
+            F.lit("patched").alias("source"),
+            (F.col("n_chars") + 1).alias("n_chars"),
+        )
+    )
+    ins = base.where(F.col("doc_id") % _MRG_INS_MOD == 0).select(
+        (F.col("doc_id") + _MRG_INS_OFFSET).alias("doc_id"),
+        F.lit("backfill").alias("source"),
+        F.col("n_chars"),
+    )
+    changes = upd.unionAll(ins)
+    b, c = base.alias("b"), changes.alias("c")
+    return (
+        b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.coalesce(F.col("c.source"), F.col("b.source")).alias("source"),
+            F.coalesce(F.col("c.n_chars"), F.col("b.n_chars")).alias("n_chars"),
+            F.when(F.col("b.doc_id").isNull(), F.lit("insert"))
+            .when(F.col("c.doc_id").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )
+
+
+ORACLE_MERGE_UPSERT = f"""
+WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+changes AS (
+  SELECT doc_id, 'patched' AS source, n_chars + 1 AS n_chars
+  FROM base WHERE doc_id % {_MRG_UPD_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {_MRG_INS_OFFSET}, 'backfill', n_chars
+  FROM base WHERE doc_id % {_MRG_INS_MOD} = 0)
+SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+       coalesce(c.source, b.source) AS source,
+       coalesce(c.n_chars, b.n_chars) AS n_chars,
+       CASE WHEN b.doc_id IS NULL THEN 'insert'
+            WHEN c.doc_id IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-order graph.
+
+    Edges: suppliers s1 < s2 that ship line items of the SAME order
+    (distinct pairs — the bipartite projection of lineitem).  Counting
+    uses the oriented two-join enumeration: wedges = edges(a,b) ⋈
+    edges(b,c) on the middle node with the a<b<c orientation already
+    guaranteed by construction, closed against edges(a,c).  Each
+    triangle materializes exactly once, then explodes to its 3 nodes
+    for the per-node rollup.
+
+    Scale: orientation is THE triangle-counting scale lever — without
+    it every triangle appears 6x and hub nodes explode the wedge join;
+    with low->high orientation a node's wedge fan-out is bounded by
+    its higher-degree neighbors only (the degree-ordered variant
+    replaces id-order with degree-order when hubs dominate; same
+    plan).  Both joins are equi-joins Catalyst plans as shuffle joins
+    keyed on the wedge endpoints; nothing is ever broadcast or
+    collected.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("lo"), F.col("b.l_suppkey").alias("hi")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .join(
+            e3,
+            (F.col("e1.lo") == F.col("e3.lo"))
+            & (F.col("e2.hi") == F.col("e3.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("na"),
+            F.col("e1.hi").alias("nb"),
+            F.col("e2.hi").alias("nc"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("na", "nb", "nc")).alias("supp_id")
+        )
+        .groupBy("supp_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+tri AS (
+  SELECT e1.lo AS na, e1.hi AS nb, e2.hi AS nc
+  FROM edges e1
+  JOIN edges e2 ON e1.hi = e2.lo
+  JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+nodes AS (
+  SELECT na AS supp_id FROM tri
+  UNION ALL SELECT nb FROM tri
+  UNION ALL SELECT nc FROM tri)
+SELECT supp_id, count(*) AS n_triangles
+FROM nodes GROUP BY supp_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_k_per_group
+# ---------------------------------------------------------------------------
+
+_SKG_K = 5
+
+
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample per source: rank documents inside
+    each source by md5(doc_id) (uncorrelated with id order and stable
+    under renumbering — same hash-order trick as sample_stratified)
+    and keep the first k=5.
+
+    Scale: one exchange on the group key, per-group sort, rank cutoff
+    — the window top-k shape shared with topk_per_group.  When groups
+    are few and huge, the production swap is the two-stage top-k
+    (per-partition partial top-k, then merge — the TakeOrdered shape
+    per group); when group count is large the window is already
+    balanced.  Never a global sort.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _SKG_K)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_SAMPLE_K_PER_GROUP = f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_SKG_K}
+"""
+
+
+WAREHOUSE_QUERIES = {
+    "merge_upsert": q_merge_upsert,
+    "triangle_count": q_triangle_count,
+    "sample_k_per_group": q_sample_k_per_group,
+}
+
+WAREHOUSE_ORACLES = {
+    "merge_upsert": ORACLE_MERGE_UPSERT,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "sample_k_per_group": ORACLE_SAMPLE_K_PER_GROUP,
+}
+
+_q.QUERIES.update(WAREHOUSE_QUERIES)
+_q.ORACLES.update(WAREHOUSE_ORACLES)

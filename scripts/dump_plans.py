@@ -172,6 +172,17 @@ SHOWCASE = [
      "cluster-local semantic dedup: shared IVF assignment persisted, "
      "sub-bucketed ShuffledHashJoin pair scan, verdict via left join "
      "on vec_id — no broadcast of any corpus-sized side"),
+    ("merge_upsert",
+     "MERGE INTO semantics: ONE full-outer shuffle join on the key; "
+     "the changes side is hash-joined, not broadcast — safe under "
+     "backfill-sized change sets, AQE may downgrade at runtime"),
+    ("triangle_count",
+     "oriented triangle enumeration: low->high edges generate each "
+     "triangle once; two equi-joins keyed on wedge endpoints, no "
+     "broadcast, no collect"),
+    ("sample_k_per_group",
+     "exact-k per group: one group-key exchange + per-group sort + "
+     "rank cutoff (window top-k shape, never a global sort)"),
 ]
 
 

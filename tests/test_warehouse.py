@@ -1,0 +1,83 @@
+"""Warehouse/graph catalog semantics tests (merge_upsert /
+triangle_count / sample_k_per_group).  Gate-level value-hash equality
+vs DuckDB is covered by scripts/check_queries.py; these pin the
+algorithmic invariants independently."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from occular_ocr_spark.queries_warehouse import (
+    _SKG_K,
+    q_merge_upsert,
+    q_sample_k_per_group,
+    q_triangle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_merge_upsert_actions(spark):
+    rows = q_merge_upsert(spark, SF).collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], []).append(r)
+    # inserts live past the offset, updates are 'patched', keeps untouched
+    assert all(r["doc_id"] >= 10_000_000 for r in by_action["insert"])
+    assert all(r["source"] == "patched" for r in by_action["update"])
+    assert all(r["doc_id"] % 7 == 0 for r in by_action["update"])
+    assert all(
+        r["source"] not in ("patched", "backfill") for r in by_action["keep"]
+    )
+    # key uniqueness after merge
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from occular_ocr_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    li = (
+        _t(spark, SF, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    )
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_suppkey"])
+    edges = set()
+    for supps in by_order.values():
+        for a, b in combinations(sorted(supps), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once
+                for n in (a, b, c):
+                    expected[n] = expected.get(n, 0) + 1
+    got = {
+        r["supp_id"]: r["n_triangles"]
+        for r in q_triangle_count(spark, SF).collect()
+    }
+    assert got == expected and got
+
+
+def test_sample_k_per_group_exact_k(spark):
+    rows = q_sample_k_per_group(spark, SF).collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["source"], []).append(r["rk"])
+    for rks in per_group.values():
+        assert sorted(rks) == list(range(1, min(_SKG_K, len(rks)) + 1))
+        assert len(rks) <= _SKG_K
+    # determinism: a second run yields the identical sample
+    again = {
+        (r["doc_id"], r["source"], r["rk"])
+        for r in q_sample_k_per_group(spark, SF).collect()
+    }
+    assert again == {(r["doc_id"], r["source"], r["rk"]) for r in rows}

@@ -175,6 +175,121 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# winnow_matches
+# ---------------------------------------------------------------------------
+
+_WM_CAP = 100          # document-frequency cap per fingerprint hash
+_WM_MIN_SHARED = 2     # pairs must share >= this many selected hashes
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing matches — the join the fingerprints
+    exist FOR (MOSS): pairs of documents sharing >= 2 selected k-gram
+    hashes (positions stripped), i.e. likely shared spans of length
+    >= k + w - 1.
+
+    Scale: the same capped-blocking shape as dedup_ngram_jaccard — the
+    per-hash doc-list groupBy both applies the document-frequency cap
+    (a boilerplate hash colliding across the corpus must not put a
+    |bucket|² expansion on one task) and expands pairs IN-ARRAY
+    (bounded by cap²/2 per hash), so there is exactly one shuffle on
+    the hash and one on the pair key; the fingerprint generation
+    itself is the zero-shuffle winnowing kernel.
+    """
+    d = _t(spark, sf_dir, "documents")
+    weights = np.array([_FP_BASE ** j for j in range(_W_K)], dtype="int64")
+
+    def hashes(batches):
+        for pdf in batches:
+            ids, khs = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t or ""
+                b = t.encode("utf-8")
+                if len(b) == len(t):
+                    codes = np.frombuffer(b, dtype="uint8").astype("int64")
+                else:
+                    codes = np.array([ord(c) for c in t], dtype="int64")
+                if len(codes) < _W_K:
+                    continue
+                poly = np.correlate(codes, weights)
+                pos = np.arange(1, len(poly) + 1, dtype="int64")
+                comb = (poly % _W_MOD) * _W_POS + (_W_POS - 1 - pos)
+                kh = np.unique(_winnow_select(comb, _W_W) // _W_POS)
+                ids.append(np.full(len(kh), doc_id, dtype="int64"))
+                khs.append(kh)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "khash": np.concatenate(khs)}
+                )
+
+    fp = d.select("doc_id", "text").mapInPandas(
+        hashes, "doc_id bigint, khash bigint"
+    )
+    groups = (
+        fp.groupBy("khash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= _WM_CAP))
+    )
+    # docs sorted ascending: later elements as partner -> each unordered
+    # pair exactly once with doc_a < doc_b (dedup_ngram_jaccard pattern)
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _WM_MIN_SHARED)
+    )
+
+
+ORACLE_WINNOW_MATCHES = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {_W_K - 1})) AS i
+  FROM documents
+  WHERE length(coalesce(text, '')) >= {_W_K}),
+h AS (
+  SELECT doc_id, i,
+         (({_W_TERMS}) % {_W_MOD}) * {_W_POS}
+           + ({_W_POS} - 1 - i) AS comb
+  FROM pos),
+nh AS (
+  SELECT doc_id, max(i) AS nh, least({_W_W}, max(i)) AS ws
+  FROM h GROUP BY doc_id),
+ends AS (
+  SELECT doc_id, ws, unnest(generate_series(ws, nh)) AS j
+  FROM nh),
+sel AS (
+  SELECT DISTINCT e.doc_id, win.comb // {_W_POS} AS khash
+  FROM ends e
+  JOIN LATERAL (
+    SELECT min(h.comb) AS comb
+    FROM h
+    WHERE h.doc_id = e.doc_id AND h.i BETWEEN e.j - e.ws + 1 AND e.j
+  ) win ON TRUE),
+capped AS (
+  SELECT doc_id, khash FROM (
+    SELECT doc_id, khash, count(*) OVER (PARTITION BY khash) AS df
+    FROM sel)
+  WHERE df BETWEEN 2 AND {_WM_CAP})
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       count(*) AS n_shared
+FROM capped a JOIN capped b
+  ON a.khash = b.khash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WM_MIN_SHARED}
+"""
+
+
+# ---------------------------------------------------------------------------
 # scd2_dimension
 # ---------------------------------------------------------------------------
 
@@ -301,12 +416,14 @@ FROM assign a
 
 MINING_QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_matches": q_winnow_matches,
     "scd2_dimension": q_scd2_dimension,
     "semdedup": q_semdedup,
 }
 
 MINING_ORACLES = {
     "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
+    "winnow_matches": ORACLE_WINNOW_MATCHES,
     "scd2_dimension": ORACLE_SCD2_DIMENSION,
     "semdedup": ORACLE_SEMDEDUP,
 }

@@ -157,6 +157,11 @@ HEADLINE = [
     "streaming_enrich",
     "streaming_sessions",
     "streaming_join",
+    "winnow_matches",
+    "ts_gapfill",
+    "mix_apply_sample",
+    "sorted_neighborhood",
+    "vocab_encode",
 ]
 
 
@@ -275,6 +280,10 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
+        # bench launches the JVM itself, so this takes effect; the
+        # PySpark default (1g) is far below what a 32-thread local
+        # executor needs once the catalog crosses ~100 queries
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -2617,3 +2617,4 @@ from . import queries_transcript as _queries_transcript  # noqa: E402,F401
 from . import queries_retrieval as _queries_retrieval  # noqa: E402,F401
 from . import queries_mining as _queries_mining  # noqa: E402,F401
 from . import queries_warehouse as _queries_warehouse  # noqa: E402,F401
+from . import queries_analytics as _queries_analytics  # noqa: E402,F401

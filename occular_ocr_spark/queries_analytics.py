@@ -1,0 +1,368 @@
+"""Analytics catalog, round 3 (session 6): four operators rounding out
+the training-data platform's relational layer —
+
+* ``ts_gapfill`` — calendar gap-fill + forward fill over the events
+  table: per-user daily aggregates densified onto the user's full day
+  range (``sequence``/``explode``) with the last observed value carried
+  forward (``last(..., ignorenulls)``).  The canonical time-series
+  densification every metrics warehouse runs before charting or
+  as-of joins.
+* ``mix_apply_sample`` — APPLIES the mixture plan ``domain_mix_weights``
+  computes: deterministic hash-gated downsampling of the documents
+  table to a uniform per-language mix (keep iff hash16(doc_id) lands
+  under the language's integer permille).  Pure integer arithmetic on
+  both engines, so the sample itself — not a statistic of it — is
+  value-hash gated.
+* ``sorted_neighborhood`` — the classic entity-resolution blocking
+  alternative to LSH (Hernandez & Stolfo, SIGMOD 1995): order the
+  corpus by a blocking key and emit every pair within a sliding window
+  of ``_SN_W`` positions.  The global rank is a DISTRIBUTED two-level
+  computation (per-first-char bucket counts -> tiny ordered prefix ->
+  within-bucket row_number), never a single-task global window.
+* ``vocab_encode`` — frequency-ranked vocabulary assignment (id 0 =
+  most frequent token, ties broken lexically) + per-document encoding
+  to an id array with OOV -> -1, the tokenizer-adjacent step between
+  ``explode_tokens``/``bpe_merges`` and ``pack_sequences``.  Rank uses
+  the same two-level distributed shape keyed on (freq, first-char).
+
+House contract (same as queries_transcript / queries_mining): the
+Spark plan is the 100 TB design, a DuckDB oracle replays the exact
+semantics bit-for-bit, and the module self-registers into
+queries.QUERIES / queries.ORACLES on import.
+
+Reference parity: the reference engine (Bodhi42/Occular-ocr) is a
+per-document extractor with no corpus-level layer; these are axis-B
+net-new operators the north rule's training-data platform needs on top
+of the extraction output (SURVEY.md §2, "LLM-data pipeline ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# ts_gapfill
+# ---------------------------------------------------------------------------
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event aggregates densified onto the user's full
+    [min_day, max_day] calendar, missing days carried forward.
+
+    Scale: the daily aggregate is one partial-agg groupBy; the calendar
+    expands from TWO rows per user (min/max) — never from raw events —
+    so the explode is O(users x span_days); the left join and the
+    forward-fill window both key on user_id (same hash partitioning
+    reused across the join and the window — one effective shuffle
+    boundary for the densified side).  Per-user window state is the
+    day span, bounded by the calendar, not the event count.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("value_sum", ignorenulls=True).over(w).alias("value_ff"),
+        )
+    )
+
+
+ORACLE_TS_GAPFILL = """
+WITH daily AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events, round(sum(value), 6) AS value_sum
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+cal AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span)
+SELECT c.user_id, c.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       last_value(d.value_sum IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# mix_apply_sample
+# ---------------------------------------------------------------------------
+
+
+def _hash16_expr(dialect: str) -> str:
+    """First 16 bits of md5(doc_id) as an integer, by pure string
+    arithmetic over the hex alphabet — identical on Spark SQL and
+    DuckDB (the ``sample_stratified`` hash, queries.py _sample_sql)."""
+    strtype = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def hexv(j: int) -> str:
+        return (
+            f"(instr('0123456789abcdef', "
+            f"substr(md5(CAST(doc_id AS {strtype})), {j}, 1)) - 1)"
+        )
+
+    return f"((({hexv(1)} * 16 + {hexv(2)}) * 16 + {hexv(3)}) * 16 + {hexv(4)})"
+
+
+def q_mix_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic downsample of the documents table to a uniform
+    LANGUAGE mixture: lang s keeps permille_s = min(1000,
+    (1000 * N) DIV (k * n_s)) of its docs, gated by hash16(doc_id) —
+    the APPLY step for the plan ``domain_mix_weights`` prices (keyed
+    on lang here because the synthetic corpus is lang-skewed 218/75/73/
+    70/64 while source is uniform — the sampler must be seen to DROP).
+
+    Integer permille (BIGINT division, no doubles) makes the kept SET
+    itself oracle-equal, not merely its size.  Scale: one partial-agg
+    groupBy(lang) prices the plan; the k-row weight table broadcasts
+    back onto the scan; the keep decision is map-side arithmetic on the
+    row itself — no second shuffle, stable under id renumbering, and
+    uncorrelated with insertion order (hash-gated, not modulo-on-id).
+    """
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    totals = counts.groupBy().agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("k")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        F.expr(
+            "least(CAST(1000 AS BIGINT), (1000 * total) DIV (k * n_docs))"
+        ).alias("permille"),
+    )
+    return (
+        d.join(F.broadcast(weights), "lang")
+        .where(F.expr(_hash16_expr("spark")) % 1000 < F.col("permille"))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+    )
+
+
+ORACLE_MIX_APPLY_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT sum(n_docs) AS total, count(*) AS k FROM c),
+w AS (SELECT c.lang,
+             least(1000, (1000 * t.total) // (t.k * c.n_docs)) AS permille
+      FROM c, t)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d JOIN w ON w.lang = d.lang
+WHERE {_hash16_expr("duck")} % 1000 < w.permille
+"""
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood
+# ---------------------------------------------------------------------------
+
+_SN_W = 5        # sliding-window size over the sorted order
+_SN_KEY_LEN = 12  # blocking-key prefix length
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order
+    documents by a blocking key (first ``_SN_KEY_LEN`` chars of text,
+    doc_id tiebreak) and emit every candidate pair within ``_SN_W``
+    positions — O(n·w) pairs vs LSH's collision-driven candidates,
+    the standard alternative when the match key is a sortable prefix.
+
+    Scale: the global rank is NEVER a single-task ``Window.orderBy``
+    over the corpus — it decomposes into (1) per-first-char bucket
+    counts (partial-agg, ~alphabet-size rows), (2) one tiny ordered
+    prefix-sum window over those bucket rows, (3) row_number within
+    each bucket (parallel across buckets; first char of the key IS the
+    bucket, so (bucket, key, id) ordering equals (key, id)).  Pair
+    expansion is an equi-join on rank+j for j in 1..w-1 — shuffle on
+    an integer key, perfectly balanced by construction (ranks are a
+    permutation).  The same two-level shape recurses on key prefix
+    length if one first-char bucket ever outgrows a task.
+    """
+    t = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.substring("text", 1, _SN_KEY_LEN).alias("key"),
+        F.substring("text", 1, 1).alias("c1"),
+    )
+    bcounts = t.groupBy("c1").agg(F.count("*").alias("n"))
+    wb = Window.orderBy("c1").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bcounts.select(
+        "c1", F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("p")
+    )
+    wr = Window.partitionBy("c1").orderBy("key", "doc_id")
+    ranked = (
+        t.join(F.broadcast(prefix), "c1")
+        .select(
+            "doc_id",
+            (F.col("p") + F.row_number().over(wr)).cast("bigint").alias("rank"),
+        )
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(j) for j in range(1, _SN_W)])
+    ).alias("j")
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("rank").alias("rank_a"), offsets
+    )
+    return (
+        left.join(
+            ranked.select(F.col("doc_id").alias("doc_b"), F.col("rank")),
+            left["rank_a"] + left["j"] == F.col("rank"),
+        )
+        .select("doc_a", "doc_b", F.col("j").cast("int").alias("dist"))
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         row_number() OVER (
+           ORDER BY substr(text, 1, {_SN_KEY_LEN}), doc_id) AS rank
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rank - a.rank AS INT) AS dist
+FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND {_SN_W - 1}
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_encode
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_FREQ = 3  # frequency threshold that bounds the ranked vocab
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (id 0 = most frequent, lexical
+    tiebreak) applied back to every document as an id array, OOV -> -1
+    — the dictionary-encoding step between tokenization and
+    ``pack_sequences`` in a pre-training loader.
+
+    Scale: token frequency is one partial-agg groupBy(tok); the
+    ``_VOCAB_MIN_FREQ`` threshold bounds the ranked vocabulary (the
+    long unigram tail is OOV by design — rank only what you keep).
+    The rank itself reuses the sorted_neighborhood two-level shape
+    keyed on (freq, first-char): group counts reduce to a tiny ordered
+    prefix window, row_number runs per (freq, first-char) group in
+    parallel, and (freq DESC, c1, tok) ordering equals the oracle's
+    (freq DESC, tok) because c1 is a prefix of tok.  Encoding joins
+    exploded tokens to the vocab on tok (broadcast when the vocab fits,
+    shuffle-hash otherwise — both sides hash the same key) and
+    reassembles per-doc order with array_sort over (pos, id) structs —
+    no window over raw token rows.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= _VOCAB_MIN_FREQ)
+        .withColumn("c1", F.substring("tok", 1, 1))
+    )
+    gcounts = freq.groupBy("freq", "c1").agg(F.count("*").alias("n"))
+    wg = Window.orderBy(F.col("freq").desc(), F.col("c1")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gprefix = gcounts.select(
+        "freq", "c1", F.coalesce(F.sum("n").over(wg), F.lit(0)).alias("p")
+    )
+    wv = Window.partitionBy("freq", "c1").orderBy("tok")
+    vocab = (
+        freq.join(F.broadcast(gprefix), ["freq", "c1"])
+        .select(
+            "tok",
+            (F.col("p") + F.row_number().over(wv) - 1)
+            .cast("bigint")
+            .alias("tok_id"),
+        )
+    )
+    return (
+        toks.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            F.coalesce("tok_id", F.lit(-1).cast("bigint")).alias(
+                                "tid"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("ids"),
+            F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+
+
+ORACLE_VOCAB_ENCODE = f"""
+WITH spl AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, i AS pos, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM spl)
+  WHERE l[i] <> ''),
+freq AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+  HAVING count(*) >= {_VOCAB_MIN_FREQ}),
+vocab AS (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok) - 1 AS BIGINT)
+           AS tok_id
+  FROM freq)
+SELECT t.doc_id,
+       list(coalesce(v.tok_id, -1) ORDER BY t.pos) AS ids,
+       CAST(sum(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
+ANALYTICS_QUERIES = {
+    "ts_gapfill": q_ts_gapfill,
+    "mix_apply_sample": q_mix_apply_sample,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "vocab_encode": q_vocab_encode,
+}
+
+ANALYTICS_ORACLES = {
+    "ts_gapfill": ORACLE_TS_GAPFILL,
+    "mix_apply_sample": ORACLE_MIX_APPLY_SAMPLE,
+    "sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
+    "vocab_encode": ORACLE_VOCAB_ENCODE,
+}
+
+_q.QUERIES.update(ANALYTICS_QUERIES)
+_q.ORACLES.update(ANALYTICS_ORACLES)

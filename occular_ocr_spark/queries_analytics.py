@@ -350,11 +350,154 @@ GROUP BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# jaccard_prefix_filter
+# ---------------------------------------------------------------------------
+
+_PPJ_NUM = 3          # Jaccard threshold tau = _PPJ_NUM / _PPJ_DEN (3/5)
+_PPJ_DEN = 5
+_PPJ_CAP = 100        # document-frequency cap per prefix token
+
+
+def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (Chaudhuri et al.
+    ICDE 2006 / PPJoin, Xiao et al. WWW 2008): document pairs whose
+    token-set Jaccard >= 3/5, found without comparing all pairs.
+
+    The filter: order every doc's distinct tokens by GLOBAL frequency
+    ascending (rarest first, lexical tiebreak); J(A,B) >= t implies
+    overlap >= ceil(t*|A|), so any qualifying pair must collide on one
+    of each doc's first |A| - ceil(t*|A|) + 1 tokens.  Blocking on the
+    prefix (the doc's RAREST tokens) instead of all tokens is the whole
+    point — candidate buckets are small by construction, unlike
+    ``dedup_ngram_jaccard``'s unfiltered shingle blocking.
+
+    All thresholds are exact integer arithmetic (ceil(3L/5) =
+    (3L+4) DIV 5; J >= 3/5 <=> 8*overlap >= 3*(|A|+|B|)), so the pair
+    SET is bit-equal across engines — no float boundary cases.
+
+    Scale: token frequency is one partial-agg groupBy; per-doc rank is
+    a window keyed by doc_id (state = tokens-per-doc, bounded);
+    candidates reuse the house capped-blocking shape (one groupBy(tok)
+    emitting a <= _PPJ_CAP doc-list, pairs expand in-array); the exact
+    verify joins candidates back to the token table on each side's
+    doc key — cost O(candidates x tokens/doc), the PPJoin verify cost.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    wd = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    prefix = (
+        toks.join(freq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("r", F.row_number().over(wd))
+        .where(
+            F.col("r")
+            <= F.col("sz")
+            - F.expr(f"({_PPJ_NUM} * sz + {_PPJ_DEN - 1}) DIV {_PPJ_DEN}")
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    buckets = (
+        prefix.groupBy("tok")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= _PPJ_CAP))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    overlap = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("o"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("la"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("lb"))
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(_PPJ_NUM + _PPJ_DEN) * F.col("o")
+            >= F.lit(_PPJ_NUM) * (F.col("la") + F.col("lb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("o") / (F.col("la") + F.col("lb") - F.col("o")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_JACCARD_PREFIX_FILTER = f"""
+WITH spl AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS l
+  FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM spl)
+  WHERE l[i] <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+pref AS (
+  SELECT doc_id, tok FROM (
+    SELECT t.doc_id, t.tok, s.sz,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY f.tf, t.tok) AS r
+    FROM toks t JOIN freq f ON f.tok = t.tok
+    JOIN sizes s ON s.doc_id = t.doc_id)
+  WHERE r <= sz - (({_PPJ_NUM} * sz + {_PPJ_DEN - 1}) // {_PPJ_DEN}) + 1),
+capped AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM pref)
+  WHERE df BETWEEN 2 AND {_PPJ_CAP}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+ov AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS o
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2)
+SELECT ov.doc_a, ov.doc_b,
+       round(CAST(ov.o AS DOUBLE) / (sa.sz + sb.sz - ov.o), 6) AS jaccard
+FROM ov
+JOIN sizes sa ON sa.doc_id = ov.doc_a
+JOIN sizes sb ON sb.doc_id = ov.doc_b
+WHERE {_PPJ_NUM + _PPJ_DEN} * ov.o >= {_PPJ_NUM} * (sa.sz + sb.sz)
+"""
+
+
 ANALYTICS_QUERIES = {
     "ts_gapfill": q_ts_gapfill,
     "mix_apply_sample": q_mix_apply_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
     "vocab_encode": q_vocab_encode,
+    "jaccard_prefix_filter": q_jaccard_prefix_filter,
 }
 
 ANALYTICS_ORACLES = {
@@ -362,6 +505,7 @@ ANALYTICS_ORACLES = {
     "mix_apply_sample": ORACLE_MIX_APPLY_SAMPLE,
     "sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
+    "jaccard_prefix_filter": ORACLE_JACCARD_PREFIX_FILTER,
 }
 
 _q.QUERIES.update(ANALYTICS_QUERIES)

@@ -1,0 +1,167 @@
+"""Analytics catalog (gap-fill / mixture sample / sorted-neighborhood /
+vocab encode / prefix-filter join): algorithmic-invariant tests.
+Gate-level value-hash equality vs DuckDB is covered by
+scripts/check_queries.py; these pin the properties the oracles can't
+state (completeness vs brute force, density, bijectivity)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from occular_ocr_spark.queries_analytics import (
+    _PPJ_CAP,
+    _PPJ_DEN,
+    _PPJ_NUM,
+    _SN_W,
+    q_jaccard_prefix_filter,
+    q_mix_apply_sample,
+    q_sorted_neighborhood,
+    q_ts_gapfill,
+    q_vocab_encode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ts_gapfill_is_dense_and_filled(spark):
+    rows = q_ts_gapfill(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for days in by_user.values():
+        days.sort(key=lambda r: r["day"])
+        # dense calendar: consecutive days, no gaps
+        for a, b in zip(days, days[1:]):
+            assert (b["day"] - a["day"]).days == 1
+        # forward fill: value_ff never null after the first observed day
+        # (the first day of the span is observed by construction)
+        assert days[0]["value_ff"] is not None
+        assert all(r["value_ff"] is not None for r in days)
+        # observed days carry their own sum: n_events > 0 => ff advances
+        assert any(r["n_events"] > 0 for r in days)
+
+
+def test_mix_apply_sample_rebalances(spark):
+    kept = q_mix_apply_sample(spark, SF).groupBy("lang").count().collect()
+    from occular_ocr_spark.queries import _t
+
+    orig = {
+        r["lang"]: r["count"]
+        for r in _t(spark, SF, "documents").groupBy("lang").count().collect()
+    }
+    kept_map = {r["lang"]: r["count"] for r in kept}
+    total, k = sum(orig.values()), len(orig)
+    target = total / k
+    for lang, n in orig.items():
+        # every language must be sampled at (close to) min(n, target):
+        # permille gating is exact in expectation, hash noise is small
+        expect = min(n, target)
+        assert kept_map.get(lang, 0) <= n
+        assert abs(kept_map.get(lang, 0) - expect) <= max(6, 0.35 * expect)
+    # languages above target must actually DROP documents
+    over = [lang for lang, n in orig.items() if n > 1.2 * target]
+    assert all(kept_map[lang] < orig[lang] for lang in over)
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from occular_ocr_spark.queries import _t
+
+    docs = _t(spark, SF, "documents").select("doc_id", "text").collect()
+    order = sorted((r["text"][:12], r["doc_id"]) for r in docs)
+    expected = set()
+    for i, (_, a) in enumerate(order):
+        for j in range(i + 1, min(i + _SN_W, len(order))):
+            expected.add((a, order[j][1], j - i))
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in q_sorted_neighborhood(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_vocab_encode_rank_is_bijective_and_ordered(spark):
+    rows = q_vocab_encode(spark, SF).collect()
+    assert rows
+    ids = sorted({i for r in rows for i in r["ids"] if i >= 0})
+    # dense 0..V-1 id space: the two-level rank is a bijection
+    assert ids == list(range(len(ids)))
+    # every doc decodes to its token count
+    from occular_ocr_spark.queries import _t
+
+    texts = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in _t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert len(r["ids"]) == len(texts[r["doc_id"]])
+        assert r["n_oov"] == sum(1 for i in r["ids"] if i == -1)
+
+
+def _prefix_candidates(docs, cap):
+    """Python replay of the blocking stage: global-frequency-ordered
+    prefixes of length sz - ceil(3*sz/5) + 1, bucket per prefix token,
+    buckets with 2..cap docs emit their pairs (cap=None disables)."""
+    freq: dict[str, int] = {}
+    for toks in docs.values():
+        for t in toks:
+            freq[t] = freq.get(t, 0) + 1
+    buckets: dict[str, list] = {}
+    for d, toks in docs.items():
+        sz = len(toks)
+        plen = sz - (3 * sz + 4) // 5 + 1
+        for t in sorted(toks, key=lambda t: (freq[t], t))[:plen]:
+            buckets.setdefault(t, []).append(d)
+    cands = set()
+    for ds in buckets.values():
+        if len(ds) < 2 or (cap is not None and len(ds) > cap):
+            continue
+        cands.update(itertools.combinations(sorted(ds), 2))
+    return cands
+
+
+def test_prefix_filter_matches_blocking_model_and_theorem(spark):
+    """Two properties the hash gate can't state: (1) the Spark join
+    equals an independent Python replay of capped-blocking + exact
+    verify (the synthetic corpus's tiny vocabulary makes hot prefix
+    tokens df≈380 at sf0.001, so the df cap DOES bite — by design,
+    mirrored in the oracle); (2) the prefix-filter THEOREM — with the
+    cap removed, blocking loses no qualifying pair vs brute force."""
+    from occular_ocr_spark.queries import _t
+
+    docs = {
+        r["doc_id"]: frozenset(t for t in r["text"].split(" ") if t)
+        for r in _t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+
+    def qualifies(a, b):
+        o = len(docs[a] & docs[b])
+        return (_PPJ_NUM + _PPJ_DEN) * o >= _PPJ_NUM * (
+            len(docs[a]) + len(docs[b])
+        )
+
+    expected = {
+        (a, b)
+        for a, b in _prefix_candidates(docs, _PPJ_CAP)
+        if qualifies(a, b)
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_jaccard_prefix_filter(spark, SF).collect()
+    }
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )
+
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(docs), 2)
+        if qualifies(a, b)
+    }
+    # exact verify => no false positives ever
+    assert got <= brute
+    # theorem: uncapped prefix blocking is COMPLETE
+    uncapped = _prefix_candidates(docs, None)
+    assert brute <= uncapped

@@ -162,6 +162,8 @@ HEADLINE = [
     "mix_apply_sample",
     "sorted_neighborhood",
     "vocab_encode",
+    "jaccard_prefix_filter",
+    "fuzzy_join_del1",
 ]
 
 

@@ -1,5 +1,5 @@
-"""Analytics catalog, round 3 (session 6): four operators rounding out
-the training-data platform's relational layer —
+"""Analytics catalog, round 3 (session 6): operators rounding out the
+training-data platform's relational + similarity-join layer —
 
 * ``ts_gapfill`` — calendar gap-fill + forward fill over the events
   table: per-user daily aggregates densified onto the user's full day
@@ -24,6 +24,10 @@ the training-data platform's relational layer —
   to an id array with OOV -> -1, the tokenizer-adjacent step between
   ``explode_tokens``/``bpe_merges`` and ``pack_sequences``.  Rank uses
   the same two-level distributed shape keyed on (freq, first-char).
+* ``jaccard_prefix_filter`` — PPJoin-style prefix-filtered SET
+  similarity self-join at exact rational tau = 3/5 (see its docstring).
+* ``fuzzy_join_del1`` — deletion-neighborhood STRING similarity
+  self-join at Levenshtein <= 1 (SymSpell/FastSS blocking).
 
 House contract (same as queries_transcript / queries_mining): the
 Spark plan is the 100 TB design, a DuckDB oracle replays the exact
@@ -492,12 +496,118 @@ WHERE {_PPJ_NUM + _PPJ_DEN} * ov.o >= {_PPJ_NUM} * (sa.sz + sb.sz)
 """
 
 
+# ---------------------------------------------------------------------------
+# fuzzy_join_del1
+# ---------------------------------------------------------------------------
+
+_FJ_CAP = 50          # signature-bucket cap (hot-key guard, oracle-mirrored)
+
+
+def q_fuzzy_join_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join (Levenshtein <= 1) over customer
+    names via DELETION-NEIGHBORHOOD signatures (the SymSpell / FastSS
+    blocking, Bocek et al. 2007): each string emits itself plus every
+    single-character deletion; any pair within one edit MUST share a
+    signature (substitution at i -> both deletion-at-i sigs equal;
+    insert/delete -> the shorter string IS a deletion sig of the
+    longer; equality -> identity sig), so blocking is provably complete
+    and the exact ``levenshtein`` verify makes the result identical to
+    the all-pairs join without ever running it.
+
+    Complements ``jaccard_prefix_filter`` (set similarity) with the
+    STRING-similarity family over the same capped-blocking house shape.
+
+    Scale: signatures per row = len+1 (bounded, map-side explode);
+    candidate generation is ONE groupBy(sig) emitting a <= _FJ_CAP
+    doc-list with in-array pair expansion — per-key work is capped, no
+    pairwise join, no window; verify cost is O(candidates), each a
+    single JVM ``levenshtein`` call.  At corpus scale the signature
+    space is near-unique, so buckets stay tiny by construction.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.col("c_name").alias("nm"),
+    )
+    del1 = F.transform(
+        F.sequence(F.lit(1), F.length("nm")),
+        lambda i: F.concat(
+            F.substring(F.col("nm"), F.lit(1), i - 1),
+            F.substring(F.col("nm"), i + 1, F.length("nm")),
+        ),
+    )
+    sigs = (
+        c.select(
+            "id",
+            F.explode(F.concat(F.array(F.col("nm")), del1)).alias("sig"),
+        )
+        .distinct()
+    )
+    buckets = (
+        sigs.groupBy("sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= _FJ_CAP))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .distinct()
+    )
+    na = c.select(F.col("id").alias("ia"), F.col("nm").alias("nm_a"))
+    nb = c.select(F.col("id").alias("ib"), F.col("nm").alias("nm_b"))
+    return (
+        cands.join(na, "ia")
+        .join(nb, "ib")
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+        .where(F.col("dist") <= 1)
+        .select(
+            F.col("ia").alias("cust_a"),
+            F.col("ib").alias("cust_b"),
+            "dist",
+        )
+    )
+
+
+ORACLE_FUZZY_JOIN_DEL1 = f"""
+WITH s AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS nm FROM customer),
+sigs AS (
+  SELECT id, nm AS sig FROM s
+  UNION ALL
+  SELECT id, substr(nm, 1, i - 1) || substr(nm, i + 1) AS sig
+  FROM (SELECT id, nm, unnest(generate_series(1, length(nm))) AS i FROM s)),
+dsig AS (SELECT DISTINCT id, sig FROM sigs),
+capped AS (
+  SELECT id, sig FROM (
+    SELECT id, sig, count(*) OVER (PARTITION BY sig) AS df FROM dsig)
+  WHERE df BETWEEN 2 AND {_FJ_CAP}),
+cands AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib
+  FROM capped a JOIN capped b ON a.sig = b.sig AND a.id < b.id)
+SELECT c.ia AS cust_a, c.ib AS cust_b,
+       levenshtein(sa.nm, sb.nm) AS dist
+FROM cands c
+JOIN s sa ON sa.id = c.ia
+JOIN s sb ON sb.id = c.ib
+WHERE levenshtein(sa.nm, sb.nm) <= 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "ts_gapfill": q_ts_gapfill,
     "mix_apply_sample": q_mix_apply_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
     "vocab_encode": q_vocab_encode,
     "jaccard_prefix_filter": q_jaccard_prefix_filter,
+    "fuzzy_join_del1": q_fuzzy_join_del1,
 }
 
 ANALYTICS_ORACLES = {
@@ -506,6 +616,7 @@ ANALYTICS_ORACLES = {
     "sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "jaccard_prefix_filter": ORACLE_JACCARD_PREFIX_FILTER,
+    "fuzzy_join_del1": ORACLE_FUZZY_JOIN_DEL1,
 }
 
 _q.QUERIES.update(ANALYTICS_QUERIES)

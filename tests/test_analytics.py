@@ -11,10 +11,12 @@ import itertools
 import pytest
 
 from occular_ocr_spark.queries_analytics import (
+    _FJ_CAP,
     _PPJ_CAP,
     _PPJ_DEN,
     _PPJ_NUM,
     _SN_W,
+    q_fuzzy_join_del1,
     q_jaccard_prefix_filter,
     q_mix_apply_sample,
     q_sorted_neighborhood,
@@ -165,3 +167,40 @@ def test_prefix_filter_matches_blocking_model_and_theorem(spark):
     # theorem: uncapped prefix blocking is COMPLETE
     uncapped = _prefix_candidates(docs, None)
     assert brute <= uncapped
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        cur = [i + 1]
+        for j, cb in enumerate(b):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_del1_equals_bruteforce(spark):
+    """Deletion-neighborhood blocking is provably COMPLETE for ed<=1
+    and the verify is exact, so (cap permitting — sig buckets here are
+    <= 10-way digit groups, far under _FJ_CAP) the join must equal the
+    all-pairs Levenshtein join."""
+    from occular_ocr_spark.queries import _t
+
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in _t(spark, SF, "customer").select("c_custkey", "c_name").collect()
+    }
+    expected = {
+        (a, b, _lev(names[a], names[b]))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if _lev(names[a], names[b]) <= 1
+    }
+    got = {
+        (r["cust_a"], r["cust_b"], r["dist"])
+        for r in q_fuzzy_join_del1(spark, SF).collect()
+    }
+    assert got == expected
+    assert got, "sf0.001 customer names must contain ed<=1 pairs"
+    assert _FJ_CAP >= 11  # a full 10-digit bucket must never be dropped

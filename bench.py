@@ -164,6 +164,7 @@ HEADLINE = [
     "vocab_encode",
     "jaccard_prefix_filter",
     "fuzzy_join_del1",
+    "sketch_rollup",
 ]
 
 

@@ -239,16 +239,96 @@ WHERE rk <= {_SKG_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_rollup
+# ---------------------------------------------------------------------------
+
+_SKR_TOL = 0.05       # HLL estimate must land within 5% of exact
+
+
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch RE-aggregation — the pre-aggregated rollup table
+    pattern every 100 TB warehouse runs: store one DataSketches HLL per
+    (event_type, day) (fixed-size binary, built in ONE partial-agg pass
+    over the fact table), then answer "distinct users per event_type"
+    by UNION-MERGING the stored sketches — never rescanning the facts.
+
+    Two verifiable contracts ride the output:
+
+    * ``merge_lossless`` — HLL union is register-wise max, so merging
+      the per-day sketches yields the IDENTICAL estimate as sketching
+      the whole column directly (union-of-sketches == sketch-of-union,
+      exactly, at equal lgConfigK).  This is the property that makes
+      sketch tables re-aggregable along any dimension.
+    * ``estimate_ok`` — the merged estimate lands within ``_SKR_TOL``
+      of the exact distinct count (computed engine-side purely to
+      verify; the oracle replays it exactly in SQL).
+
+    Unlike ``approx_distinct`` (a one-shot ``approx_count_distinct``),
+    this entry exercises sketch PERSISTENCE shape: binary sketch
+    columns grouped at one granularity and merged at a coarser one.
+
+    Scale: both aggregations are map-side partial (sketches are
+    bounded-size and commutative); exact distinct is a two-level
+    aggregate, not a global distinct.
+    """
+    ev = _q._t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_direct")
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        exact.join(merged, "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.col("n_merged") == F.col("n_direct")).alias("merge_lossless"),
+            (
+                F.abs(F.col("n_merged") - F.col("n_exact"))
+                <= F.lit(_SKR_TOL) * F.col("n_exact")
+            ).alias("estimate_ok"),
+        )
+    )
+
+
+ORACLE_SKETCH_ROLLUP = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       true AS merge_lossless,
+       true AS estimate_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 WAREHOUSE_QUERIES = {
     "merge_upsert": q_merge_upsert,
     "triangle_count": q_triangle_count,
     "sample_k_per_group": q_sample_k_per_group,
+    "sketch_rollup": q_sketch_rollup,
 }
 
 WAREHOUSE_ORACLES = {
     "merge_upsert": ORACLE_MERGE_UPSERT,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "sample_k_per_group": ORACLE_SAMPLE_K_PER_GROUP,
+    "sketch_rollup": ORACLE_SKETCH_ROLLUP,
 }
 
 _q.QUERIES.update(WAREHOUSE_QUERIES)

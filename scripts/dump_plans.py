@@ -183,6 +183,18 @@ SHOWCASE = [
     ("sample_k_per_group",
      "exact-k per group: one group-key exchange + per-group sort + "
      "rank cutoff (window top-k shape, never a global sort)"),
+    ("jaccard_prefix_filter",
+     "PPJoin prefix filter: token/freq/size partial aggs, ONE bounded "
+     "per-doc rank window (state = tokens/doc), capped groupBy(tok) "
+     "bucket expansion, exact verify re-join — no all-pairs scan"),
+    ("fuzzy_join_del1",
+     "deletion-neighborhood fuzzy join: map-side signature explode, ONE "
+     "groupBy(sig) with in-array pair expansion, JVM levenshtein "
+     "verify; small sides broadcast via AQE, no window, no cartesian"),
+    ("sketch_rollup",
+     "mergeable HLL rollup: per-(type,day) sketch partial agg "
+     "(ObjectHashAggregate), union-merge re-agg at coarser key, "
+     "two-level exact-distinct agg for the contract check"),
 ]
 
 

@@ -81,3 +81,27 @@ def test_sample_k_per_group_exact_k(spark):
         for r in q_sample_k_per_group(spark, SF).collect()
     }
     assert again == {(r["doc_id"], r["source"], r["rk"]) for r in rows}
+
+
+def test_sketch_rollup_merge_is_lossless_and_bounded(spark):
+    """HLL union-of-sketches must estimate IDENTICALLY to the
+    sketch-of-union (register-wise max at equal lgConfigK), and the
+    estimate must be inside the 5% contract vs exact."""
+    from occular_ocr_spark.queries_warehouse import q_sketch_rollup
+
+    rows = q_sketch_rollup(spark, SF).collect()
+    assert rows
+    assert all(r["merge_lossless"] for r in rows)
+    assert all(r["estimate_ok"] for r in rows)
+    # exact counts cross-checked against a direct distinct
+    from occular_ocr_spark.queries import _t
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in _t(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r["event_type"]: r["n_exact"] for r in rows} == exact

@@ -165,6 +165,7 @@ HEADLINE = [
     "jaccard_prefix_filter",
     "fuzzy_join_del1",
     "sketch_rollup",
+    "ann_recall_eval",
 ]
 
 

@@ -1715,6 +1715,181 @@ FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
 
+_ANN_EVAL_Q = 4        # query vectors: vec_id 0..Q-1
+_ANN_EVAL_K = 10       # top-k depth evaluated
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-probed ANN search vs exact brute-force top-k
+    — the quality contract every production ANN index ships with (the
+    sketch_rollup analog for similarity search): the index is only
+    usable if its measured recall is known, and the measurement itself
+    must be reproducible.
+
+    For each of ``_ANN_EVAL_Q`` query vectors, compute (a) the exact
+    cosine top-``_ANN_EVAL_K`` over the whole corpus and (b) the
+    IVF-probed top-k (nprobe=``_IVF_NPROBE`` nearest centroid lists,
+    the same quantizer as ``ann_ivf_search``), and emit per query the
+    overlap ``hits`` and ``recall`` = hits/k.  Both engines rank by the
+    identically-rounded cosine with a vec_id tie-break (a total order),
+    so the two top-k sets — and therefore the recall numbers — are
+    bit-deterministic, not a flaky statistical assertion.
+
+    Scale shape: ALL Q queries are scored in ONE map-side pass over the
+    IVF assignment scan — the (Q, dim) query matrix rides the closure
+    (O(Q·dim), the batched-query analog of the single-vector scorer)
+    and each Arrow batch does one vectorized (batch × Q) accumulation;
+    per-query top-k is a rank window partitioned by query_id.  At
+    production Q (thousands of eval queries) the window still
+    parallelizes across queries; the exact side is the expensive leg by
+    design — it is the ground truth, run on the eval slice only, while
+    the probed side scans ~nprobe/K of the corpus.
+    """
+    dim = _embedding_dim(spark, sf_dir)
+    asg = _ivf_assignment(spark, sf_dir, dim)
+    qrows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["emb"]], float(r["norm"]))
+        for r in asg.where(F.col("vec_id") < _ANN_EVAL_Q)
+        .select("vec_id", "emb", "norm")
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id bigint, hits bigint, recall double"
+        )
+    qids = np.array([q for q, _, _ in qrows], dtype="int64")
+    qmat = np.array([v for _, v, _ in qrows], dtype="float64")
+    qnorm = np.array([n for _, _, n in qrows], dtype="float64")
+
+    # Probe selection per query: driver-side arithmetic over the K
+    # collected centroids (same left-to-right d2 accumulation as the
+    # oracle's ordered unnest-sum — see q_ann_ivf_search).
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def _d2(qv, cv):
+        acc = 0.0
+        for x, y in zip(qv, cv):
+            acc += (x - y) * (x - y)
+        return acc
+
+    probe_rows = []
+    for qid, qv, _ in qrows:
+        ranked = sorted((_d2(qv, cv), cid) for cid, cv in cents)
+        probe_rows += [(qid, cid) for _, cid in ranked[:_IVF_NPROBE]]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, centroid_id bigint"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            m = np.array(pdf["emb"].tolist(), dtype="float64")
+            acc = np.zeros((n, len(qids)), dtype="float64")
+            for j in range(m.shape[1]):  # left-to-right, oracle FP order
+                acc = acc + m[:, j, None] * qmat[None, :, j]
+            cos = acc / (pdf["norm"].to_numpy()[:, None] * qnorm[None, :])
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), len(qids)),
+                    "centroid_id": np.repeat(
+                        pdf["centroid_id"].to_numpy(), len(qids)
+                    ),
+                    "cos_sim": cos.reshape(-1),
+                }
+            )
+            yield out[out.vec_id != out.query_id]
+
+    scored = (
+        asg.select("vec_id", "centroid_id", "emb", "norm")
+        .mapInPandas(
+            score,
+            "query_id bigint, vec_id bigint, centroid_id bigint, cos_sim double",
+        )
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .persist()  # ground truth AND probed ranking read it
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ANN_EVAL_K)
+        .select("query_id", "vec_id")
+    )
+    ann = (
+        scored.join(F.broadcast(probes), ["query_id", "centroid_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ANN_EVAL_K)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(_ANN_EVAL_K)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+ORACLE_ANN_RECALL_EVAL = f"""
+WITH {_IVF_ASSIGN_SQL},
+qs AS (SELECT vec_id AS query_id, emb AS qe, norm AS qn
+       FROM assign WHERE vec_id < {_ANN_EVAL_Q}),
+scored AS (
+  SELECT q.query_id, a.vec_id, a.centroid_id,
+         round(
+           (SELECT sum(x * y) FROM (SELECT unnest(a.emb) x, unnest(q.qe) y))
+           / (a.norm * q.qn), 6) AS cos_sim
+  FROM assign a, qs q
+  WHERE a.vec_id <> q.query_id),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             (SELECT sum((a - b) * (a - b))
+              FROM (SELECT unnest(c.cvec) a, unnest(q.qe) b)),
+             c.centroid_id) AS rk
+    FROM cents c, qs q)
+  WHERE rk <= {_IVF_NPROBE}),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM scored)
+  WHERE rk <= {_ANN_EVAL_K}),
+ann_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.cos_sim DESC, s.vec_id) AS rk
+    FROM scored s
+    JOIN probes p ON s.query_id = p.query_id
+                 AND s.centroid_id = p.centroid_id)
+  WHERE rk <= {_ANN_EVAL_K})
+SELECT e.query_id,
+       count(a.vec_id) AS hits,
+       round(count(a.vec_id) / {float(_ANN_EVAL_K)}, 6) AS recall
+FROM exact_topk e
+LEFT JOIN ann_topk a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+
 _LSH_PLANES = 8
 
 
@@ -2542,6 +2717,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_search": q_ann_ivf_search,
+    "ann_recall_eval": q_ann_recall_eval,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_search": q_ann_lsh_search,
     "lang_quality": q_lang_quality,
@@ -2589,6 +2765,7 @@ ORACLES: Dict[str, str] = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_ivf_assign": ORACLE_ANN_IVF_ASSIGN,
     "ann_ivf_search": ORACLE_ANN_IVF_SEARCH,
+    "ann_recall_eval": ORACLE_ANN_RECALL_EVAL,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "ann_lsh_search": ORACLE_ANN_LSH_SEARCH,
     "lang_quality": ORACLE_LANG_QUALITY,

@@ -195,6 +195,10 @@ SHOWCASE = [
      "mergeable HLL rollup: per-(type,day) sketch partial agg "
      "(ObjectHashAggregate), union-merge re-agg at coarser key, "
      "two-level exact-distinct agg for the contract check"),
+    ("ann_recall_eval",
+     "ANN recall@k eval: ALL Q queries scored in ONE map-side Arrow "
+     "pass ((Q,dim) matrix in closure), per-query rank windows for "
+     "exact vs probed top-k, broadcast probe join, left-join overlap"),
 ]
 
 

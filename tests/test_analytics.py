@@ -204,3 +204,52 @@ def test_fuzzy_join_del1_equals_bruteforce(spark):
     assert got == expected
     assert got, "sf0.001 customer names must contain ed<=1 pairs"
     assert _FJ_CAP >= 11  # a full 10-digit bucket must never be dropped
+
+
+def test_ann_recall_eval_matches_bruteforce_python(spark):
+    """Per-query hits must equal the Python-computed overlap between
+    exact cosine top-k and IVF-probed top-k on the real corpus, with
+    identical rounding and (cos DESC, vec_id) tie-break."""
+    import numpy as np
+
+    from occular_ocr_spark.queries import (
+        _ANN_EVAL_K,
+        _ANN_EVAL_Q,
+        _IVF_K,
+        _IVF_NPROBE,
+        _t,
+        q_ann_recall_eval,
+    )
+
+    rows = {
+        int(r["vec_id"]): np.array([float(v) for v in r["embedding"]])
+        for r in _t(spark, SF, "embeddings").collect()
+    }
+    cents = {c: rows[c] for c in range(_IVF_K) if c in rows}
+    norms = {k: float(np.sqrt(np.sum(v * v))) for k, v in rows.items()}
+    assign = {
+        k: min(cents, key=lambda c: (float(np.sum((v - cents[c]) ** 2)), c))
+        for k, v in rows.items()
+    }
+    expected = {}
+    for q in range(_ANN_EVAL_Q):
+        qv, qn = rows[q], norms[q]
+        scored = {
+            k: round(float(np.dot(v, qv)) / (norms[k] * qn), 6)
+            for k, v in rows.items()
+            if k != q
+        }
+        rank = sorted(scored, key=lambda k: (-scored[k], k))
+        exact = set(rank[:_ANN_EVAL_K])
+        probes = sorted(
+            cents, key=lambda c: (float(np.sum((qv - cents[c]) ** 2)), c)
+        )[:_IVF_NPROBE]
+        cand = [k for k in rank if assign[k] in probes]
+        expected[q] = len(exact & set(cand[:_ANN_EVAL_K]))
+
+    got = {
+        int(r["query_id"]): int(r["hits"])
+        for r in q_ann_recall_eval(spark, SF).collect()
+    }
+    assert got == expected
+    assert any(h > 0 for h in got.values()), "probed lists must hit"

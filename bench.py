@@ -166,6 +166,16 @@ HEADLINE = [
     "fuzzy_join_del1",
     "sketch_rollup",
     "ann_recall_eval",
+    # round 4
+    "lsh_recall_eval",
+    "minhash_est_error",
+    "dedup_incremental",
+    "context_truncate",
+    "ewma_trailing",
+    "changelog_compact",
+    "score_deciles",
+    "script_profile",
+    "reply_latency_stats",
 ]
 
 
@@ -180,12 +190,25 @@ def warmup(spark, sf_dir: str) -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
-def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
-    from occular_ocr_spark.queries import QUERIES
+def _wait_quiet_host() -> float:
+    """Block until the 1-min load average is below the scaling
+    harness's QUIET_LOAD threshold (or its timeout passes).  r3's
+    catalog leg ran at load 7.4-14.7 and its ANN-family numbers came
+    out 3-5x worse than r2's on strictly better code (VERDICT r3 #1):
+    per-query timings from a contended host are attribution noise, so
+    the catalog leg now applies the same quiet-gate policy as
+    scripts/bench_scaling.py's scaling legs."""
+    from scripts.bench_scaling import _wait_quiet
 
-    # shared host: record contention so a noisy recorded number is
-    # attributable (see BENCH/BASELINE.md run history)
-    load_start = os.getloadavg()[0]
+    return _wait_quiet("catalog")
+
+
+def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
+    from occular_ocr_spark.queries import QUERIES, release_persists
+
+    # shared host: quiet-gate first, then record the load actually seen
+    # so a noisy recorded number is attributable (BENCH/BASELINE.md)
+    load_start = _wait_quiet_host()
     warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     extraction_rows = 0
@@ -208,6 +231,11 @@ def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        # drop this query's tracked per-query caches before the next
+        # query so a 123-entry session doesn't accumulate blocks
+        # (session-lifetime indexes like the verified-pairs memo are
+        # intentionally not tracked and survive)
+        release_persists()
         if name == "extract_transcripts":
             extraction_sec = best
         timings[name] = round(best, 3)

@@ -205,10 +205,14 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation).  The same two-level shape recurses on key prefix
     length if one first-char bucket ever outgrows a task.
     """
+    # NULL text coalesces to '' so the c1 equi-join below never drops a
+    # row the oracle ranks (and '' sorts first on both engines, whereas
+    # NULL orders differ: Spark windows put NULLS FIRST, DuckDB LAST).
+    txt = F.coalesce(F.col("text"), F.lit(""))
     t = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.substring("text", 1, _SN_KEY_LEN).alias("key"),
-        F.substring("text", 1, 1).alias("c1"),
+        F.substring(txt, F.lit(1), F.lit(_SN_KEY_LEN)).alias("key"),
+        F.substring(txt, F.lit(1), F.lit(1)).alias("c1"),
     )
     bcounts = t.groupBy("c1").agg(F.count("*").alias("n"))
     wb = Window.orderBy("c1").rowsBetween(Window.unboundedPreceding, -1)
@@ -242,7 +246,8 @@ ORACLE_SORTED_NEIGHBORHOOD = f"""
 WITH r AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          row_number() OVER (
-           ORDER BY substr(text, 1, {_SN_KEY_LEN}), doc_id) AS rank
+           ORDER BY substr(coalesce(text, ''), 1, {_SN_KEY_LEN}), doc_id
+         ) AS rank
   FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(b.rank - a.rank AS INT) AS dist
@@ -380,6 +385,13 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3L+4) DIV 5; J >= 3/5 <=> 8*overlap >= 3*(|A|+|B|)), so the pair
     SET is bit-equal across engines — no float boundary cases.
 
+    Cap caveat: buckets larger than ``_PPJ_CAP`` are dropped (hot-key
+    guard), so a qualifying pair whose EVERY shared prefix token is
+    over-cap is not emitted; the oracle mirrors the cap, so the gate
+    pins the capped semantics.  The prefix filter makes over-cap
+    prefix tokens rare by construction (prefixes prefer RARE tokens),
+    but completeness is exact only modulo that cap.
+
     Scale: token frequency is one partial-agg groupBy; per-doc rank is
     a window keyed by doc_id (state = tokens-per-doc, bounded);
     candidates reuse the house capped-blocking shape (one groupBy(tok)
@@ -510,9 +522,15 @@ def q_fuzzy_join_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-character deletion; any pair within one edit MUST share a
     signature (substitution at i -> both deletion-at-i sigs equal;
     insert/delete -> the shorter string IS a deletion sig of the
-    longer; equality -> identity sig), so blocking is provably complete
-    and the exact ``levenshtein`` verify makes the result identical to
-    the all-pairs join without ever running it.
+    longer; equality -> identity sig), so the signature scheme itself
+    is provably complete, and the exact ``levenshtein`` verify makes
+    the result identical to the all-pairs join — EXCEPT for pairs
+    whose every shared signature lands in a bucket larger than
+    ``_FJ_CAP``: the hot-key cap below deliberately drops those
+    buckets (a near-duplicate *flood* on one signature is pathological
+    input), so completeness holds only for pairs with at least one
+    under-cap shared signature.  The oracle mirrors the cap, so the
+    gate pins the capped semantics, not the uncapped ideal.
 
     Complements ``jaccard_prefix_filter`` (set similarity) with the
     STRING-similarity family over the same capped-blocking house shape.

@@ -377,7 +377,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin states, keeping the entry value-hash gated.
     """
     dim = _embedding_dim(spark, sf_dir)
-    asg = _ivf_assignment(spark, sf_dir, dim).persist()
+    asg = _q._persist_tracked(_ivf_assignment(spark, sf_dir, dim))
     dropped = (
         _subbucketed_pair_cosines(spark, asg, include_centroid=False)
         .withColumn("cos_sim", F.round("cos_sim", 6))

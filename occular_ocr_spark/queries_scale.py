@@ -1252,10 +1252,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the previous turn is >= the gap (Spark's session end =
     last event + gap, exclusive).
     """
-    import os
-    import shutil
-    import tempfile
-
     from .streaming import read_transcript_stream
 
     d = _t(spark, sf_dir, "documents")
@@ -1274,11 +1270,16 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("doc_id") % 10) * 30
         ).alias("ts"),
     )
-    tmp = tempfile.mkdtemp(prefix="occular-sessions-")
-    name = "sess_" + os.path.basename(tmp).replace("occular-sessions-", "")
+    from .queries_ext import _mem_name, _stage_once
+
+    indir = _stage_once(
+        "sessions",
+        spark,
+        sf_dir,
+        lambda d: turns.coalesce(1).write.parquet(d),
+    )
+    name = _mem_name("sess")
     try:
-        indir = os.path.join(tmp, "in")
-        turns.coalesce(1).write.parquet(indir)
         q = (
             read_transcript_stream(spark, indir)
             .withWatermark("ts", "2 hours")
@@ -1305,7 +1306,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         spark.catalog.dropTempView(name)
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 ORACLE_STREAMING_SESSIONS = f"""

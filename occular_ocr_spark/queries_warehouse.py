@@ -37,7 +37,6 @@ from .queries import _t
 
 _MRG_UPD_MOD = 7       # doc_id % 7 == 0 -> update arrives
 _MRG_INS_MOD = 31      # doc_id % 31 == 0 -> an insert arrives (new key)
-_MRG_INS_OFFSET = 10_000_000
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,8 +53,15 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the key keeps the plan safe when a backfill makes the change
     set table-sized; AQE downgrades it to broadcast at runtime when
     the stats allow.
+
+    The synthetic insert keys are offset by ``max(doc_id) + 1`` —
+    derived from the data (1-row broadcast crossJoin, no collect), not
+    a constant — so they stay disjoint from base AND update keys at
+    ANY scale factor (a fixed 10M offset would collide once the corpus
+    passed 10M docs, silently turning inserts into updates).
     """
     base = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    off = base.agg((F.max("doc_id") + 1).alias("_ins_off"))
     upd = (
         base.where(F.col("doc_id") % _MRG_UPD_MOD == 0)
         .select(
@@ -64,10 +70,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") + 1).alias("n_chars"),
         )
     )
-    ins = base.where(F.col("doc_id") % _MRG_INS_MOD == 0).select(
-        (F.col("doc_id") + _MRG_INS_OFFSET).alias("doc_id"),
-        F.lit("backfill").alias("source"),
-        F.col("n_chars"),
+    ins = (
+        base.where(F.col("doc_id") % _MRG_INS_MOD == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_ins_off")).alias("doc_id"),
+            F.lit("backfill").alias("source"),
+            F.col("n_chars"),
+        )
     )
     changes = upd.unionAll(ins)
     b, c = base.alias("b"), changes.alias("c")
@@ -87,12 +97,13 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MERGE_UPSERT = f"""
 WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+off AS (SELECT max(doc_id) + 1 AS ins_off FROM base),
 changes AS (
   SELECT doc_id, 'patched' AS source, n_chars + 1 AS n_chars
   FROM base WHERE doc_id % {_MRG_UPD_MOD} = 0
   UNION ALL
-  SELECT doc_id + {_MRG_INS_OFFSET}, 'backfill', n_chars
-  FROM base WHERE doc_id % {_MRG_INS_MOD} = 0)
+  SELECT b.doc_id + o.ins_off, 'backfill', b.n_chars
+  FROM base b CROSS JOIN off o WHERE b.doc_id % {_MRG_INS_MOD} = 0)
 SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
        coalesce(c.source, b.source) AS source,
        coalesce(c.n_chars, b.n_chars) AS n_chars,

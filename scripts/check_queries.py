@@ -61,6 +61,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from occular_ocr_spark.queries import release_persists
+
     qs, os_ = queries(), oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -74,6 +76,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures += 1
             continue
+        finally:
+            # drop per-query tracked caches so a 123-entry session
+            # doesn't accumulate blocks (session-lifetime memos survive)
+            release_persists()
         sql = os_.get(name)
         if sql is None:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")

@@ -22,8 +22,13 @@ def test_merge_upsert_actions(spark):
     by_action = {}
     for r in rows:
         by_action.setdefault(r["action"], []).append(r)
-    # inserts live past the offset, updates are 'patched', keeps untouched
-    assert all(r["doc_id"] >= 10_000_000 for r in by_action["insert"])
+    # inserts live past max(base doc_id) — the data-derived offset keeps
+    # synthetic insert keys disjoint from base/update keys at ANY scale
+    # factor (ADVICE r3: a fixed 10M constant collides past 10M docs)
+    max_base = max(
+        r["doc_id"] for a in ("update", "keep") for r in by_action[a]
+    )
+    assert all(r["doc_id"] > max_base for r in by_action["insert"])
     assert all(r["source"] == "patched" for r in by_action["update"])
     assert all(r["doc_id"] % 7 == 0 for r in by_action["update"])
     assert all(

@@ -529,3 +529,85 @@ def test_zorder_cluster_pure_mapside(spark):
     assert n_nodes(p, "Exchange") == 0
     assert "* Project" in p  # codegen'd (starred) projection
     assert "EvalPython" not in p
+
+
+# --------------------------------------------------------------------------
+# round-4 entries
+# --------------------------------------------------------------------------
+
+
+def test_script_profile_single_exchange_partial_agg(spark):
+    """Char-class counting is map-side arithmetic into a #langs-row
+    partial agg: one exchange, two agg phases, no join, no Python."""
+    p = plan_of(Q.QUERIES["script_profile"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "HashAggregate") == 2
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_context_truncate_single_conv_exchange(spark):
+    """Reverse cumulative token sum: ONE exchange on conv_id feeding
+    the window; token counting stays in the scan stage."""
+    p = plan_of(Q.QUERIES["context_truncate"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "Window") == 1
+    assert "Join" not in p
+
+
+def test_changelog_compact_single_key_exchange(spark):
+    """Compaction is a pure reduce: the 3-way changelog union shuffles
+    ONCE on the key; the rank filter is pushed into WindowGroupLimit so
+    non-latest ops drop before the full window sort."""
+    p = plan_of(Q.QUERIES["changelog_compact"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "Union") == 1
+    assert n_nodes(p, "WindowGroupLimit") >= 1  # rank<=1 pushdown
+    assert "Join" not in p
+
+
+def test_reply_latency_exchange_reuse(spark):
+    """lead() window and the per-conv agg share the conv_id key: one
+    exchange serves both."""
+    p = plan_of(Q.QUERIES["reply_latency_stats"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "Window") == 1
+
+
+def test_ewma_joins_daily_series_not_raw_events(spark):
+    """The 14x decay fan-out happens AFTER the daily partial agg — the
+    Generate (explode) sits above a HashAggregate pair, so raw events
+    are never replicated; the day-spine join broadcasts."""
+    p = plan_of(Q.QUERIES["ewma_trailing"](spark, SF_DIR))
+    assert n_nodes(p, "Generate") == 1
+    assert n_nodes(p, "BroadcastHashJoin") == 1
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert "EvalPython" not in p
+
+
+def test_dedup_incremental_capped_blocking_no_pairwise(spark):
+    """New-vs-corpus candidates expand IN-ARRAY from the capped
+    per-shingle doc-list: no cartesian product, no sort-merge pairwise
+    join; size lookups broadcast."""
+    p = plan_of(Q.QUERIES["dedup_incremental"](spark, SF_DIR))
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert n_nodes(p, "BroadcastHashJoin") >= 2
+
+
+def test_blocking_eval_entries_no_pairwise(spark):
+    """The eval harnesses reuse the capped blocking paths — nothing in
+    either plan ever goes all-pairs."""
+    for name in ("lsh_recall_eval", "minhash_est_error"):
+        p = plan_of(Q.QUERIES[name](spark, SF_DIR))
+        assert n_nodes(p, "CartesianProduct") == 0, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_score_deciles_two_level_rank_no_global_row_window(spark):
+    """The global rank decomposes: the only unpartitioned frame is the
+    #distinct-score prefix window; the row-shaped window is partitioned
+    by score value.  The 1-row total joins via broadcast."""
+    p = plan_of(Q.QUERIES["score_deciles"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 2
+    # the row-shaped window shuffles by the score VALUE, never globally
+    assert "hashpartitioning(score" in p

@@ -199,6 +199,29 @@ SHOWCASE = [
      "ANN recall@k eval: ALL Q queries scored in ONE map-side Arrow "
      "pass ((Q,dim) matrix in closure), per-query rank windows for "
      "exact vs probed top-k, broadcast probe join, left-join overlap"),
+    ("dedup_incremental",
+     "new-batch-vs-corpus ingest dedup: capped groupBy(sh) doc-lists "
+     "with IN-ARRAY new x old pair expansion — no second shingle "
+     "shuffle, no pairwise join; per-new-doc verdict via rank window"),
+    ("lsh_recall_eval",
+     "blocking-quality eval: exact-Jaccard truth LEFT JOIN LSH "
+     "candidates on the pair key, one partial-agg scoreboard row — "
+     "both inputs the already-capped blocking paths"),
+    ("changelog_compact",
+     "CDC changelog -> latest-wins state: 3-way union shuffles ONCE on "
+     "the key, WindowGroupLimit drops non-latest ops before the full "
+     "window sort, tombstones filtered — compaction as a pure reduce"),
+    ("ewma_trailing",
+     "trailing exponential decay: daily partial agg FIRST, then the "
+     "14x weight fan-out of the tiny series (never of raw events); "
+     "weights are shared float64 literals, spine join broadcasts"),
+    ("score_deciles",
+     "global deciles via the two-level rank: per-value counts + tiny "
+     "prefix window + value-partitioned row_number — the row-shaped "
+     "window never sees a single global partition"),
+    ("context_truncate",
+     "token-budget left truncation: one conv_id exchange, reverse "
+     "cumulative window, budget filter — suffix semantics in one pass"),
 ]
 
 

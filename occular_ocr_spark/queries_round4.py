@@ -718,6 +718,249 @@ GROUP BY conv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram_lm_logprob — smoothed bigram LM scoring (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log2-probability under an add-one-smoothed
+    BIGRAM language model trained on the corpus itself — the
+    conditional-probability upgrade of ``unigram_logprob`` (fluency,
+    not just vocabulary rarity; boilerplate and shuffled-word spam
+    separate sharply under a bigram LM).
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V): all-integer counts, so
+    both engines compute log2 on IDENTICAL doubles (exact ratios) —
+    the same bit-determinism contract as ``unigram_logprob``.
+
+    Scale: per-doc bigrams assemble IN-ARRAY map-side (zip_with over
+    the token list, no self-join, no window); the bigram and
+    first-token count tables shuffle on their own keys (vocab-sized);
+    scoring joins the doc bigram stream to them on those keys — hash
+    joins that AQE broadcasts when the vocab allows; V rides a 1-row
+    broadcast.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    bg = toks.where(F.size("l") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.size("l") - 1),
+                F.slice("l", 2, F.size("l") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("v")))),
+                6,
+            ).alias("logprob2"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LM_LOGPROB = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT doc_id, list_extract(l, i) AS w1, list_extract(l, i + 1) AS w2
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM toks WHERE len(l) >= 2)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))), 6)
+         AS logprob2
+FROM bg
+JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+JOIN c1 ON c1.w1 = bg.w1
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — pair/doc counts across the Jaccard dial (wave 2)
+# ---------------------------------------------------------------------------
+
+_SWEEP_PERMILLE = (500, 600, 700, 800, 900)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness curve: for each candidate Jaccard threshold,
+    how many verified near-dup pairs survive and how many distinct
+    documents they touch — the report a pipeline owner reads before
+    picking the dedup dial (each +0.1 of threshold trades recall of
+    boilerplate for retention of legitimate repetition).
+
+    Reads the session-memoized verified-pairs table (built once by
+    ``dedup_minhash_verify``), so the sweep itself is a 5x fan-out of a
+    near-dup-sized input: one conditional-count pass for pairs and one
+    explode+distinct pass for touched docs, joined on the threshold key
+    (integer permille — no float join keys).
+    """
+    pairs = _q.q_dedup_minhash_verify(spark, sf_dir)
+    th = F.explode(
+        F.array(*[F.lit(p) for p in _SWEEP_PERMILLE])
+    ).alias("threshold_pm")
+    hits = pairs.select("doc_a", "doc_b", "jaccard", th).where(
+        F.col("jaccard") * 1000 >= F.col("threshold_pm")
+    )
+    n_pairs = hits.groupBy("threshold_pm").agg(F.count("*").alias("n_pairs"))
+    n_docs = (
+        hits.select(
+            "threshold_pm", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold_pm")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "threshold_pm").select(
+        F.col("threshold_pm").cast("int").alias("threshold_pm"),
+        "n_pairs",
+        "n_docs",
+    )
+
+
+ORACLE_DEDUP_THRESHOLD_SWEEP = f"""
+WITH pairs AS (
+  SELECT * FROM ({{verify}}) vp),
+th (threshold_pm) AS (VALUES {", ".join(f"({p})" for p in _SWEEP_PERMILLE)}),
+hits AS (
+  SELECT th.threshold_pm, p.doc_a, p.doc_b
+  FROM pairs p JOIN th ON p.jaccard * 1000 >= th.threshold_pm),
+np AS (SELECT threshold_pm, count(*) AS n_pairs FROM hits GROUP BY 1),
+nd AS (SELECT threshold_pm, count(DISTINCT d) AS n_docs FROM (
+         SELECT threshold_pm, doc_a AS d FROM hits
+         UNION ALL
+         SELECT threshold_pm, doc_b FROM hits) GROUP BY 1)
+SELECT CAST(np.threshold_pm AS INT) AS threshold_pm, np.n_pairs, nd.n_docs
+FROM np JOIN nd USING (threshold_pm)
+"""
+
+
+# ---------------------------------------------------------------------------
+# kfold_assign — deterministic hash k-fold split report (wave 2)
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment report: fold = md5-hash16(doc_id)
+    mod K (the ``sample_stratified`` portable-hash trick — identical
+    integers on both engines, stable under id renumbering, uncorrelated
+    with insertion order), rolled up to (fold, lang) counts so fold
+    balance is auditable per stratum.
+
+    Complements ``train_test_split`` (single split with group
+    integrity): k-fold is the cross-validation layout, and the hash
+    construction means fold membership is reproducible from the row
+    alone — no shuffle, no state, any executor can answer "which fold"
+    during a later scan.
+
+    Scale: map-side arithmetic into a K x #langs partial agg.
+    """
+    _q._register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_kfold_sql("spark"))
+
+
+def _kfold_sql(dialect: str = "duck") -> str:
+    strtype = "STRING" if dialect == "spark" else "VARCHAR"
+    hexv = (
+        lambda j: f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS {strtype})), {j}, 1)) - 1)"
+    )
+    h16 = f"((({hexv(1)} * 16 + {hexv(2)}) * 16 + {hexv(3)}) * 16 + {hexv(4)})"
+    return f"""
+SELECT CAST({h16} % {_KFOLD_K} AS INT) AS fold, lang,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+ORACLE_KFOLD_ASSIGN = _kfold_sql()
+
+
+# ---------------------------------------------------------------------------
+# hourly_profile — time-of-day seasonality with peak flag (wave 2)
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: event count and
+    mean value per (type, hour), plus the per-type peak-hour flag —
+    the load-shaping report an ingest scheduler reads.
+
+    Scale: events collapse to a 24 x #types partial agg FIRST; the
+    peak rank is a window over those <= 24 rows per type — the window
+    never sees raw events.
+
+    Bit-determinism: a raw avg(double) sums in partition order on
+    Spark and scan order on DuckDB, and one last-ulp difference can
+    straddle a round-4 boundary (it did: 54.77875).  Even on identical
+    doubles, round(x, 4) ITSELF diverges at exact .5 boundaries
+    (Spark rounds the BigDecimal of the binary value HALF_UP; DuckDB
+    multiplies by 10^4 in float first).  So both the aggregation AND
+    the rounding stay in integers: values are 2-decimal amounts ->
+    exact cents; the 4-decimal mean is the integer half-up division
+    round(100*c/n) = (200c + n) DIV 2n, divided by 10^4 at the end —
+    no float op until the final exact division by a power of ten.
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.hour("ts").alias("hr"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("c"))
+        .withColumn(
+            "avg_value",
+            F.expr("(200 * c + n_events) DIV (2 * n_events)") / 10000.0,
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("avg_value").desc(), F.col("hr")
+    )
+    return hourly.withColumn(
+        "is_peak", (F.row_number().over(w) == 1)
+    ).select(
+        "event_type", F.col("hr").cast("int").alias("hr"),
+        "n_events", "avg_value", "is_peak",
+    )
+
+
+ORACLE_HOURLY_PROFILE = """
+WITH hourly AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+         count(*) AS n_events,
+         ((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+          // (2 * count(*))) / 10000.0 AS avg_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hr, n_events, avg_value,
+       row_number() OVER (
+         PARTITION BY event_type ORDER BY avg_value DESC, hr) = 1 AS is_peak
+FROM hourly
+"""
+
+
 ROUND4_QUERIES = {
     "lsh_recall_eval": q_lsh_recall_eval,
     "minhash_est_error": q_minhash_est_error,
@@ -728,6 +971,10 @@ ROUND4_QUERIES = {
     "score_deciles": q_score_deciles,
     "script_profile": q_script_profile,
     "reply_latency_stats": q_reply_latency_stats,
+    "bigram_lm_logprob": q_bigram_lm_logprob,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "kfold_assign": q_kfold_assign,
+    "hourly_profile": q_hourly_profile,
 }
 
 ROUND4_ORACLES = {
@@ -742,6 +989,12 @@ ROUND4_ORACLES = {
     "score_deciles": ORACLE_SCORE_DECILES,
     "script_profile": ORACLE_SCRIPT_PROFILE,
     "reply_latency_stats": ORACLE_REPLY_LATENCY_STATS,
+    "bigram_lm_logprob": ORACLE_BIGRAM_LM_LOGPROB,
+    "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP.format(
+        verify=_q.ORACLE_DEDUP_MINHASH_VERIFY
+    ),
+    "kfold_assign": ORACLE_KFOLD_ASSIGN,
+    "hourly_profile": ORACLE_HOURLY_PROFILE,
 }
 
 _q.QUERIES.update(ROUND4_QUERIES)

@@ -180,3 +180,92 @@ def test_reply_latency_burst_clock(spark):
         assert r["max_gap_s"] in (30, 3630)
         assert 30 <= r["avg_gap_s"] <= 3630
         assert 1 <= r["n_gaps"] <= 9
+
+
+def test_bigram_lm_matches_python(spark):
+    from collections import Counter
+
+    from occular_ocr_spark.queries import _t
+    from occular_ocr_spark.queries_round4 import q_bigram_lm_logprob
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in _t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    c2, c1, vocab = Counter(), Counter(), set()
+    for toks in docs.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    import math
+
+    rows = q_bigram_lm_logprob(spark, SF).collect()
+    assert len(rows) == sum(1 for t in docs.values() if len(t) >= 2)
+    v = len(vocab)
+    for r in rows[:25]:
+        toks = docs[r["doc_id"]]
+        lps = [
+            math.log2((c2[(a, b)] + 1) / (c1[a] + v))
+            for a, b in zip(toks, toks[1:])
+        ]
+        assert r["n_bigrams"] == len(lps)
+        assert abs(r["logprob2"] - sum(lps) / len(lps)) < 1e-5
+        assert r["logprob2"] < 0
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    from occular_ocr_spark.queries import q_dedup_minhash_verify
+    from occular_ocr_spark.queries_round4 import q_dedup_threshold_sweep
+
+    rows = sorted(
+        q_dedup_threshold_sweep(spark, SF).collect(),
+        key=lambda r: r["threshold_pm"],
+    )
+    assert [r["threshold_pm"] for r in rows] == [500, 600, 700, 800, 900]
+    for a, b in zip(rows, rows[1:]):  # tightening can only shrink
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs"] >= b["n_docs"]
+    # the 0.5 row IS the verify set (its own threshold)
+    pairs = q_dedup_minhash_verify(spark, SF).collect()
+    assert rows[0]["n_pairs"] == len(pairs)
+    assert rows[0]["n_docs"] == len(
+        {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    )
+
+
+def test_kfold_assign_balance_and_hash(spark):
+    import hashlib
+
+    from occular_ocr_spark.queries import _t
+    from occular_ocr_spark.queries_round4 import _KFOLD_K, q_kfold_assign
+
+    rows = q_kfold_assign(spark, SF).collect()
+    assert {r["fold"] for r in rows} <= set(range(_KFOLD_K))
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = _t(spark, SF, "documents").count()
+    assert total == n_docs
+    # replay the portable hash for a handful of ids
+    per_fold = {}
+    for r in rows:
+        per_fold[r["fold"]] = per_fold.get(r["fold"], 0) + r["n_docs"]
+    expect = {}
+    for r in _t(spark, SF, "documents").select("doc_id").collect():
+        h16 = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        f = h16 % _KFOLD_K
+        expect[f] = expect.get(f, 0) + 1
+    assert per_fold == expect
+
+
+def test_hourly_profile_single_peak(spark):
+    from occular_ocr_spark.queries_round4 import q_hourly_profile
+
+    rows = q_hourly_profile(spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        assert 0 <= r["hr"] < 24
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        peaks = [r for r in rs if r["is_peak"]]
+        assert len(peaks) == 1, t
+        assert peaks[0]["avg_value"] == max(r["avg_value"] for r in rs)

@@ -222,6 +222,16 @@ SHOWCASE = [
     ("context_truncate",
      "token-budget left truncation: one conv_id exchange, reverse "
      "cumulative window, budget filter — suffix semantics in one pass"),
+    ("bigram_lm_logprob",
+     "bigram LM scoring: in-array bigram assembly (zip_with, no "
+     "self-join), vocab-keyed count joins, 1-row V broadcast, exact "
+     "integer ratios into log2"),
+    ("dedup_threshold_sweep",
+     "threshold dial report: reads the session-memoized verified-pairs "
+     "InMemoryRelation — the sweep never re-runs the minhash chain"),
+    ("hourly_profile",
+     "seasonality profile: events collapse to 24 x #types integer-cents "
+     "partials FIRST; the peak window ranks bounded groups only"),
 ]
 
 

@@ -611,3 +611,39 @@ def test_score_deciles_two_level_rank_no_global_row_window(spark):
     assert n_nodes(p, "Window") == 2
     # the row-shaped window shuffles by the score VALUE, never globally
     assert "hashpartitioning(score" in p
+
+
+def test_kfold_assign_mapside_single_exchange(spark):
+    """Portable-hash fold arithmetic is row-local: one partial-agg
+    exchange, no join, no Python."""
+    p = plan_of(Q.QUERIES["kfold_assign"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "HashAggregate") == 2
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_hourly_profile_agg_before_window(spark):
+    """Events collapse to the 24 x #types partial agg first; the peak
+    window ranks those bounded groups, never raw events."""
+    p = plan_of(Q.QUERIES["hourly_profile"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 1
+    assert n_nodes(p, "HashAggregate") >= 2
+    assert "Join" not in p
+
+
+def test_bigram_lm_in_array_bigrams_no_pairwise(spark):
+    """Bigrams assemble in-array map-side (zip_with) — no self-join of
+    the token stream, no cartesian product anywhere."""
+    p = plan_of(Q.QUERIES["bigram_lm_logprob"](spark, SF_DIR))
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "Generate") >= 1
+    assert "EvalPython" not in p
+
+
+def test_threshold_sweep_reads_memoized_pairs(spark):
+    """The sweep consumes the session-memoized verified-pairs table —
+    the plan reads an InMemoryRelation, not a re-run of the
+    minhash->verify chain."""
+    p = plan_of(Q.QUERIES["dedup_threshold_sweep"](spark, SF_DIR))
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p
+    assert n_nodes(p, "CartesianProduct") == 0

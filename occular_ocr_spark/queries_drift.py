@@ -1,0 +1,593 @@
+"""Drift & corpus-hygiene catalog, round 4 (wave 3): six operators a
+web-scale training-data platform runs between extraction and training —
+distribution-drift monitors, statistical QA, and per-domain hygiene.
+
+* ``psi_drift`` — Population Stability Index between a reference and a
+  current document population (here: doc_id parity halves over the
+  ``n_chars`` length distribution, 10 fixed-width bins).  PSI is the
+  standard "did my corpus mix shift between snapshots" dial; the
+  Laplace-smoothed per-bin contributions are the debugging surface.
+* ``ks_statistic`` — two-sample Kolmogorov-Smirnov D over the events
+  value distribution, computed as a *distributed ECDF*: exact integer
+  cents quantization, per-value counts, then the house two-level
+  prefix-sum (bounded per-bucket offsets + within-bucket window) so no
+  global single-task window ever materializes.  The D numerator stays
+  in exact integer arithmetic (``|cum_a*n_b - cum_b*n_a|``) until one
+  final division.
+* ``boilerplate_scrub`` — RefinedWeb-style per-source boilerplate line
+  detection: sentences appearing in >= 20% of a source's documents
+  (and >= 3 absolute) are flagged.  Headers/footers are synthesized
+  deterministically in-query (house pattern, cf. ``link_extract``'s
+  URL synthesis, queries_transcript.py) since the fixture corpus has
+  no natural shared lines.
+* ``corr_matrix`` — one-pass Pearson correlation matrix over the four
+  numeric lineitem measures: a single partial-aggregate scan collects
+  exact-integer (cents-quantized, decimal(38)-summed) moment sums; the
+  6 pairwise correlations are then pure arithmetic on one row.
+* ``domain_blocklist`` — suffix-exploded domain blocklist matching:
+  each host expands to its >= 2-label dot-suffixes map-side and
+  equi-joins a broadcast blocklist — the scalable form of the
+  ``host LIKE '%.' || domain`` anti-pattern (which cannot use a hash
+  join and scans the blocklist per row).
+* ``zscore_outliers`` — per-event-type z-score outliers over exact
+  integer moment sums (the same determinism trick as ``corr_matrix``);
+  the groupwise stats broadcast back onto the event stream map-side.
+
+House contract (same as queries_mining / queries_analytics): the Spark
+plan is the 100 TB design, a DuckDB oracle replays the exact semantics
+bit-for-bit (shared quantization, exact integer numerators, round(,6)
+on every float surface), and the module self-registers into
+queries.QUERIES / queries.ORACLES on import.
+
+Reference parity: the reference engine (Bodhi42/Occular-ocr) is a
+per-document extractor with no corpus-level layer; these are axis-B
+net-new operators for the north rule's training-data platform
+(SURVEY.md §2, "LLM-data pipeline ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 120  # fixed-width n_chars bins
+_PSI_BINS = 10
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots.
+
+    Reference population = even doc_ids, current = odd (a deterministic
+    stand-in for "last week's crawl vs this week's"); the monitored
+    statistic is the document length ``n_chars`` in 10 fixed-width
+    bins (top bin open-ended).  Laplace smoothing (+0.5 per bin,
+    +0.5*10 per total) keeps empty-on-one-side bins finite — the
+    textbook PSI recipe.
+
+    Plan: one map-side projection (bin + side flags) into one
+    partial-agg groupBy over <= 10 bin keys; the total row counts come
+    from a window over those <= 10 rows (bounded frame, never raw
+    data).  Zero joins, zero Python; at 100 TB this is a single
+    scan-and-combine.
+    """
+    d = _t(spark, sf_dir, "documents")
+    binned = d.select(
+        F.least(
+            F.floor(F.col("n_chars") / _PSI_BIN_W), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("c_cur"),
+    )
+    w = Window.partitionBy()  # <= 10 rows: bounded global frame
+    p_ref = (F.col("c_ref") + 0.5) / (F.sum("c_ref").over(w) + 0.5 * _PSI_BINS)
+    p_cur = (F.col("c_cur") + 0.5) / (F.sum("c_cur").over(w) + 0.5 * _PSI_BINS)
+    return agg.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+WITH binned AS (
+  SELECT CAST(least(floor(n_chars / {_PSI_BIN_W}), {_PSI_BINS - 1}) AS BIGINT)
+           AS bin,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+  FROM documents),
+agg AS (
+  SELECT bin,
+         CAST(sum(is_ref) AS BIGINT) AS c_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
+  FROM binned GROUP BY bin),
+tot AS (
+  SELECT bin, c_ref, c_cur,
+         (c_ref + 0.5) / (sum(c_ref) OVER () + 0.5 * {_PSI_BINS}) AS p_ref,
+         (c_cur + 0.5) / (sum(c_cur) OVER () + 0.5 * {_PSI_BINS}) AS p_cur
+  FROM agg)
+SELECT bin, c_ref, c_cur,
+       round(p_ref, 6) AS p_ref,
+       round(p_cur, 6) AS p_cur,
+       round((p_ref - p_cur) * ln(p_ref / p_cur), 6) AS psi_contrib
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# ks_statistic
+# ---------------------------------------------------------------------------
+
+_KS_BUCKET = 4096  # cents per ECDF prefix-sum bucket
+
+
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the event-value
+    distributions of two user cohorts (user_id parity halves).
+
+    The ECDFs are built distributed: values quantize to exact integer
+    cents (``floor(v*100 + 0.5)`` — identical on both engines), counts
+    collapse per distinct cent, and the cumulative sums use the house
+    two-level prefix sum (cf. ``pack_sequences``,
+    queries_pipeline.py): per-bucket totals (range/{_KS_BUCKET} rows)
+    carry the cross-bucket offsets through a bounded window, and the
+    within-bucket window is hash-partitioned by bucket.  No global
+    single-task window touches the raw rows.
+
+    Determinism: D's numerator ``max |cum_a*n_b - cum_b*n_a|`` is exact
+    BIGINT arithmetic; the only float op is the final division,
+    rounded to 6.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    side = F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+    per_v = (
+        ev.select(v.alias("v"), side.alias("is_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("c_a"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("c_b"),
+        )
+        .withColumn("bucket", F.floor(F.col("v") / _KS_BUCKET))
+    )
+    # level 1: per-bucket totals -> exclusive cross-bucket offsets
+    # (window over #buckets rows, a bounded frame)
+    wb = Window.partitionBy().orderBy("bucket")
+    bucket_tot = per_v.groupBy("bucket").agg(
+        F.sum("c_a").alias("t_a"),
+        F.sum("c_b").alias("t_b"),
+    )
+    offs = bucket_tot.select(
+        "bucket",
+        F.coalesce(
+            F.sum("t_a").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off_a"),
+        F.coalesce(
+            F.sum("t_b").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off_b"),
+        F.sum("t_a").over(Window.partitionBy()).alias("n_a"),
+        F.sum("t_b").over(Window.partitionBy()).alias("n_b"),
+    )
+    # level 2: within-bucket cumsum, partitioned by bucket
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.join(F.broadcast(offs), "bucket").select(
+        (F.col("off_a") + F.sum("c_a").over(wv)).alias("cum_a"),
+        (F.col("off_b") + F.sum("c_b").over(wv)).alias("cum_b"),
+        "n_a",
+        "n_b",
+    )
+    return cum.groupBy("n_a", "n_b").agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        )
+        .cast("bigint")
+        .alias("d_num")
+    ).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "d_num",
+        F.round(
+            F.col("d_num") / (F.col("n_a").cast("double") * F.col("n_b")), 6
+        ).alias("d_stat"),
+    )
+
+
+ORACLE_KS_STATISTIC = """
+WITH per_v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS c_b
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT sum(c_a) OVER (ORDER BY v) AS cum_a,
+         sum(c_b) OVER (ORDER BY v) AS cum_b,
+         sum(c_a) OVER () AS n_a,
+         sum(c_b) OVER () AS n_b
+  FROM per_v)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_b), 6) AS d_stat
+FROM cum GROUP BY n_a, n_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_scrub
+# ---------------------------------------------------------------------------
+
+_BP_MIN_DOCS = 3  # absolute floor
+_BP_PCT10 = 2  # flag when n_docs * 10 >= source_docs * 2  (>= 20%)
+
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate sentence detection (RefinedWeb-style):
+    a sentence appearing in >= 20% of a source's documents (and >= 3
+    absolute) is boilerplate to scrub before training.
+
+    The fixture corpus has no natural shared lines, so headers/footers
+    are synthesized deterministically in-query (house pattern —
+    ``link_extract``'s URL synthesis): ~3/4 of docs gain a per-source
+    copyright footer, ~1/5 a per-source subscribe header.  Both
+    engines see the identical payload.
+
+    Plan: map-side split + explode, one partial-agg distinct-doc count
+    per (source, sentence), then a broadcast join against the 1-row-
+    per-source doc totals.  The >= 20% test stays in exact integer
+    arithmetic (``n_docs*10 >= src_docs*2``).
+    """
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    payload = F.when(
+        doc % 4 == 1, base
+    ).otherwise(
+        F.concat(base, F.lit(". (c) "), F.col("source"), F.lit(" rights reserved"))
+    )
+    payload = F.when(
+        doc % 5 == 0,
+        F.concat(
+            F.lit("subscribe to "), F.col("source"), F.lit(" newsletter. "), payload
+        ),
+    ).otherwise(payload)
+    sents = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(payload, "\\. ")).alias("sent0"),
+    ).select("doc_id", "source", F.trim("sent0").alias("sentence"))
+    sents = sents.where(F.length("sentence") >= 8)
+    per_sent = sents.groupBy("source", "sentence").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    src_tot = d.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("src_docs")
+    )
+    return (
+        per_sent.join(F.broadcast(src_tot), "source")
+        .where(
+            (F.col("n_docs") >= _BP_MIN_DOCS)
+            & (F.col("n_docs") * 10 >= F.col("src_docs") * _BP_PCT10)
+        )
+        .select(
+            "source",
+            "sentence",
+            "n_docs",
+            "src_docs",
+            F.round(F.col("n_docs") / F.col("src_docs"), 6).alias("doc_share"),
+        )
+    )
+
+
+ORACLE_BOILERPLATE_SCRUB = f"""
+WITH payload AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'subscribe to ' || source || ' newsletter. ' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN coalesce(text, '')
+                 ELSE coalesce(text, '') || '. (c) ' || source
+                      || ' rights reserved' END AS p
+  FROM documents),
+sents AS (
+  SELECT doc_id, source, trim(u.s) AS sentence
+  FROM payload, unnest(string_split(p, '. ')) AS u(s)
+  WHERE length(trim(u.s)) >= 8),
+per_sent AS (
+  SELECT source, sentence,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sents GROUP BY 1, 2),
+src_tot AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS src_docs
+  FROM documents GROUP BY 1)
+SELECT p.source, p.sentence, p.n_docs, t.src_docs,
+       round(CAST(p.n_docs AS DOUBLE) / t.src_docs, 6) AS doc_share
+FROM per_sent p JOIN src_tot t ON p.source = t.source
+WHERE p.n_docs >= {_BP_MIN_DOCS}
+  AND p.n_docs * 10 >= t.src_docs * {_BP_PCT10}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix over the four numeric
+    lineitem measures — the feature-drift / redundancy screen a data
+    platform runs over numeric metadata columns.
+
+    Determinism across engines: every measure quantizes to exact
+    integer cents; all moment sums accumulate as decimal(38,0) (exact,
+    order-independent), so the six correlations are pure IEEE
+    arithmetic on ONE row of exact integers — no float summation order
+    anywhere.  Plan: a single partial-agg scan (15 sums), then a
+    4-label self-pairing on the 1-row result; at 100 TB this is one
+    map-side-combined pass.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = {
+        c: F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")
+        for c in _CORR_COLS
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(F.sum(cents[a]).alias(f"s{i}"))
+        for j, b in enumerate(_CORR_COLS):
+            if i <= j:
+                aggs.append(F.sum(cents[a] * cents[b]).alias(f"s{i}{j}"))
+    row = li.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i < j:
+                n = F.col("n").cast("double")
+                si = F.col(f"s{i}").cast("double")
+                sj = F.col(f"s{j}").cast("double")
+                sij = F.col(f"s{i}{j}").cast("double")
+                sii = F.col(f"s{i}{i}").cast("double")
+                sjj = F.col(f"s{j}{j}").cast("double")
+                corr = (n * sij - si * sj) / (
+                    F.sqrt(n * sii - si * si) * F.sqrt(n * sjj - sj * sj)
+                )
+                pairs.append(
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.round(corr, 6).alias("corr"),
+                    )
+                )
+    return row.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )
+
+
+def _corr_oracle() -> str:
+    cents = {
+        c: f"CAST(floor({c} * 100 + 0.5) AS HUGEINT)" for c in _CORR_COLS
+    }
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for i, a in enumerate(_CORR_COLS):
+        sums.append(f"sum({cents[a]}) AS s{i}")
+        for j, b in enumerate(_CORR_COLS):
+            if i <= j:
+                sums.append(f"sum({cents[a]} * {cents[b]}) AS s{i}{j}")
+    sel = []
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i < j:
+                num = (
+                    f"(CAST(n AS DOUBLE) * CAST(s{i}{j} AS DOUBLE)"
+                    f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+                )
+                den = (
+                    f"(sqrt(CAST(n AS DOUBLE) * CAST(s{i}{i} AS DOUBLE)"
+                    f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+                    f" * sqrt(CAST(n AS DOUBLE) * CAST(s{j}{j} AS DOUBLE)"
+                    f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)))"
+                )
+                sel.append(
+                    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                    f"round({num} / {den}, 6) AS corr FROM m"
+                )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(sel)
+    )
+
+
+ORACLE_CORR_MATRIX = _corr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# domain_blocklist
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("news.example.com", "example.net", "h5.example.org")
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-exploded domain blocklist matching — the scalable form
+    of per-domain URL filtering.  Each host expands map-side to its
+    >= 2-label dot-suffixes (a bounded explode: depth <= label count)
+    and equi-joins a broadcast blocklist; an entry therefore blocks
+    its whole subdomain tree.  The naive ``host LIKE '%' || domain``
+    formulation cannot hash-join and rescans the blocklist per row —
+    this shape is a plain BroadcastHashJoin.
+
+    Hosts are synthesized deterministically in-query (house pattern,
+    cf. ``link_extract``): docs with doc_id % 3 != 1 carry one host of
+    varying label depth.
+    """
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    part = (
+        F.when(doc % 4 == 0, F.lit("news.example.com"))
+        .when(doc % 4 == 1, F.lit("example.com"))
+        .when(doc % 4 == 2, F.lit("blog.example.net"))
+        .otherwise(F.lit("example.org"))
+    )
+    hosts = d.where(doc % 3 != 1).select(
+        "doc_id",
+        F.concat(F.lit("h"), (doc % 13).cast("string"), F.lit("."), part).alias(
+            "host"
+        ),
+    )
+    labels = F.split(F.col("host"), "\\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    exploded = hosts.select(
+        "doc_id", "host", F.explode(suffixes).alias("suffix")
+    )
+    bl = spark.createDataFrame([(s,) for s in _BLOCKLIST], "domain string")
+    return exploded.join(
+        F.broadcast(bl), exploded.suffix == bl.domain
+    ).select("doc_id", "host", F.col("domain").alias("matched"))
+
+
+_BL_VALUES = ", ".join(f"('{s}')" for s in _BLOCKLIST)
+
+ORACLE_DOMAIN_BLOCKLIST = f"""
+WITH hosts AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+         CASE doc_id % 4 WHEN 0 THEN 'news.example.com'
+                         WHEN 1 THEN 'example.com'
+                         WHEN 2 THEN 'blog.example.net'
+                         ELSE 'example.org' END AS host
+  FROM documents WHERE doc_id % 3 != 1),
+expl AS (
+  SELECT doc_id, host,
+         array_to_string(
+           list_slice(string_split(host, '.'), i,
+                      len(string_split(host, '.'))), '.') AS suffix
+  FROM hosts, unnest(range(1, len(string_split(host, '.')))) AS u(i)),
+bl(domain) AS (VALUES {_BL_VALUES})
+SELECT e.doc_id, e.host, b.domain AS matched
+FROM expl e JOIN bl b ON e.suffix = b.domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers
+# ---------------------------------------------------------------------------
+
+_Z_THRESH = 2.5
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging over exact integer
+    moment sums — the numeric-anomaly screen of a data-quality layer.
+
+    Determinism: values quantize to integer cents; per-type n / sum /
+    sum-of-squares accumulate as decimal(38,0) (exact at any scale),
+    so mean and population std are IEEE arithmetic on exact integers
+    and the z-scores round(,6)-match across engines.  Plan: one
+    partial-agg pass builds the per-type stats (bounded key count),
+    which broadcast back onto the event stream — the flagging itself
+    is map-side, no second shuffle of the raw rows.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
+    rows = ev.select("event_id", "event_type", v.alias("vc"))
+    stats = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / n
+    std = F.sqrt((n * ss - s * s)) / n
+    stats = stats.select(
+        "event_type", mean.alias("mean_c"), std.alias("std_c")
+    )
+    z = (F.col("vc").cast("double") - F.col("mean_c")) / F.col("std_c")
+    return (
+        rows.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > _Z_THRESH)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("vc").cast("bigint").alias("v_cents"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+ORACLE_ZSCORE_OUTLIERS = f"""
+WITH rows_ AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS HUGEINT) AS vc
+  FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(vc) AS s,
+         sum(vc * vc) AS ss
+  FROM rows_ GROUP BY 1),
+st AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+         sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / CAST(n AS DOUBLE) AS std_c
+  FROM stats)
+SELECT r.event_id, r.event_type,
+       CAST(r.vc AS BIGINT) AS v_cents,
+       round((CAST(r.vc AS DOUBLE) - st.mean_c) / st.std_c, 6) AS z
+FROM rows_ r JOIN st ON r.event_type = st.event_type
+WHERE abs((CAST(r.vc AS DOUBLE) - st.mean_c) / st.std_c) > {_Z_THRESH}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+DRIFT_QUERIES = {
+    "psi_drift": q_psi_drift,
+    "ks_statistic": q_ks_statistic,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "corr_matrix": q_corr_matrix,
+    "domain_blocklist": q_domain_blocklist,
+    "zscore_outliers": q_zscore_outliers,
+}
+
+DRIFT_ORACLES = {
+    "psi_drift": ORACLE_PSI_DRIFT,
+    "ks_statistic": ORACLE_KS_STATISTIC,
+    "boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
+    "corr_matrix": ORACLE_CORR_MATRIX,
+    "domain_blocklist": ORACLE_DOMAIN_BLOCKLIST,
+    "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
+}
+
+_q.QUERIES.update(DRIFT_QUERIES)
+_q.ORACLES.update(DRIFT_ORACLES)

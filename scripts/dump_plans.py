@@ -232,6 +232,16 @@ SHOWCASE = [
     ("hourly_profile",
      "seasonality profile: events collapse to 24 x #types integer-cents "
      "partials FIRST; the peak window ranks bounded groups only"),
+    ("ks_statistic",
+     "distributed two-sample KS: per-cent counts, bucket-partitioned "
+     "cumsum + broadcast bucket offsets — no global single-task window; "
+     "D numerator exact BIGINT"),
+    ("corr_matrix",
+     "one-pass Pearson matrix: 15 decimal(38)-exact moment sums in one "
+     "partial-agg scan; 6 pair rows generated from the 1-row result"),
+    ("domain_blocklist",
+     "suffix-exploded blocklist match: map-side >=2-label suffix "
+     "expansion + BroadcastHashJoin, replacing the unjoinable LIKE scan"),
 ]
 
 

@@ -647,3 +647,60 @@ def test_threshold_sweep_reads_memoized_pairs(spark):
     p = plan_of(Q.QUERIES["dedup_threshold_sweep"](spark, SF_DIR))
     assert "InMemoryRelation" in p or "InMemoryTableScan" in p
     assert n_nodes(p, "CartesianProduct") == 0
+
+
+def test_psi_drift_single_scan_bounded_window(spark):
+    """PSI is one partial-agg pass; the window runs over <= 10 bin rows
+    (bounded frame), and nothing joins or drops to Python."""
+    p = plan_of(Q.QUERIES["psi_drift"](spark, SF_DIR))
+    assert n_nodes(p, "HashAggregate") >= 2  # map-side partial + final
+    assert "Join" not in p and "EvalPython" not in p
+    assert n_nodes(p, "Window") == 1
+
+
+def test_ks_statistic_two_level_prefix_sum(spark):
+    """The ECDF cumsum is bucket-partitioned (never a global single-task
+    window over raw values); bucket offsets broadcast back."""
+    p = plan_of(Q.QUERIES["ks_statistic"](spark, SF_DIR))
+    assert "hashpartitioning(bucket" in p  # within-bucket window shuffles by bucket
+    assert n_nodes(p, "BroadcastHashJoin") == 1  # tiny offsets table broadcast
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert "EvalPython" not in p
+
+
+def test_boilerplate_scrub_broadcast_totals(spark):
+    """Sentence explode is map-side; the per-source totals (20 rows)
+    broadcast — the corpus-sized side never sort-merge-shuffles."""
+    p = plan_of(Q.QUERIES["boilerplate_scrub"](spark, SF_DIR))
+    assert n_nodes(p, "Generate") >= 1  # explode(split(...))
+    assert n_nodes(p, "BroadcastHashJoin") == 1
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert n_nodes(p, "CartesianProduct") == 0
+
+
+def test_corr_matrix_single_pass_no_join(spark):
+    """All 15 moment sums come from ONE partial-agg scan; the 6 pair
+    rows are a Generate over the 1-row result."""
+    p = plan_of(Q.QUERIES["corr_matrix"](spark, SF_DIR))
+    assert n_nodes(p, "HashAggregate") == 2  # one partial + one final, one pass
+    assert "Join" not in p and "EvalPython" not in p
+    assert n_nodes(p, "Scan parquet") == 1
+
+
+def test_domain_blocklist_broadcast_suffix_join(spark):
+    """Suffix explode is map-side; the blocklist broadcasts — a plain
+    BroadcastHashJoin, never a LIKE-shaped nested loop."""
+    p = plan_of(Q.QUERIES["domain_blocklist"](spark, SF_DIR))
+    assert n_nodes(p, "Generate") == 1
+    assert n_nodes(p, "BroadcastHashJoin") == 1
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(p, "CartesianProduct") == 0
+
+
+def test_zscore_outliers_broadcast_stats_one_fact_scan(spark):
+    """Per-type stats (bounded keys) broadcast back onto the event
+    stream; flagging is map-side on the fact scan."""
+    p = plan_of(Q.QUERIES["zscore_outliers"](spark, SF_DIR))
+    assert n_nodes(p, "BroadcastHashJoin") == 1
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert "EvalPython" not in p

@@ -2856,3 +2856,4 @@ from . import queries_warehouse as _queries_warehouse  # noqa: E402,F401
 from . import queries_analytics as _queries_analytics  # noqa: E402,F401
 from . import queries_round4 as _queries_round4  # noqa: E402,F401
 from . import queries_drift as _queries_drift  # noqa: E402,F401
+from . import queries_training as _queries_training  # noqa: E402,F401

@@ -1,0 +1,196 @@
+"""Training-set assembly catalog, round 4 (wave 4): two operators the
+fine-tuning side of a data platform runs after curation —
+
+* ``preference_pairs`` — RLHF/DPO preference-pair construction: within
+  each group (source domain here), documents rank by a deterministic
+  quality proxy and consecutive ranks pair off as (chosen, rejected)
+  with their score margin.  The distributed shape is the one that
+  matters at scale: one rank window PER GROUP (hash-partitioned, never
+  global) and a single partial-agg pairing by (group, pair_id) using
+  max_by/min_by — no self-join of the ranked stream.
+* ``padding_waste`` — per-length-bucket padding-efficiency report for
+  fixed-shape batching: documents bucket by next-power-of-two token
+  length; padded = bucket_cap * docs, waste = padded - real.  The
+  exact-integer companion evidence for why ``pack_sequences``
+  (queries_pipeline.py) exists: the waste column IS the tokens packing
+  recovers.  One map-side projection into a bounded-key partial agg.
+
+House contract: DuckDB value-hash oracle with identical aliases and
+quantization, self-registration into queries.QUERIES / ORACLES on
+import, plan assertions in tests/test_plans.py.
+
+Reference parity: axis-B net-new corpus ops (the reference
+Bodhi42/Occular-ocr engine is per-document only; SURVEY.md §2,
+"LLM-data pipeline ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# preference_pairs
+# ---------------------------------------------------------------------------
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chosen, rejected) preference pairs per source group.
+
+    Score = the deterministic quality proxy ``n_chars`` (ties broken by
+    doc_id so the rank is total); rank r pairs with rank r+1 when r is
+    odd, chosen = the higher-scored member.  Groups with an odd member
+    count drop their last rank — standard pairing semantics.
+
+    Plan: the rank window is hash-partitioned by source (bounded group
+    sizes, never a global sort); pairing is ONE partial-agg groupBy on
+    (source, pair_id) with max_by/min_by — the ranked rows shuffle
+    once and there is no self-join.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("score"),
+        F.row_number().over(w).alias("r"),
+    )
+    paired = ranked.withColumn("pair_id", F.floor((F.col("r") - 1) / 2))
+    # r is unique within (source, pair_id): the odd rank is the better
+    # member by construction, so r itself is the arg-min/max key — no
+    # struct-ordered comparison needed on either engine
+    full = paired.groupBy("source", "pair_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("min_by(doc_id, r)").alias("chosen_doc"),
+        F.expr("max_by(doc_id, r)").alias("rejected_doc"),
+        F.expr("min_by(score, r)").alias("chosen_score"),
+        F.expr("max_by(score, r)").alias("rejected_score"),
+    )
+    return (
+        full.where(F.col("n") == 2)
+        .select(
+            "source",
+            F.col("pair_id").cast("bigint").alias("pair_id"),
+            "chosen_doc",
+            "rejected_doc",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )
+
+
+ORACLE_PREFERENCE_PAIRS = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(n_chars AS BIGINT) AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS r
+  FROM documents),
+paired AS (
+  SELECT *, CAST(floor((r - 1) / 2) AS BIGINT) AS pair_id FROM ranked),
+agg AS (
+  SELECT source, pair_id, count(*) AS n,
+         arg_min(doc_id, r) AS chosen_doc,
+         arg_max(doc_id, r) AS rejected_doc,
+         arg_min(score, r) AS chosen_score,
+         arg_max(score, r) AS rejected_score
+  FROM paired GROUP BY 1, 2)
+SELECT source, pair_id, chosen_doc, rejected_doc,
+       chosen_score - rejected_score AS margin
+FROM agg WHERE n = 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# padding_waste
+# ---------------------------------------------------------------------------
+
+_PW_MIN_CAP = 64  # smallest batch shape
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket padding-efficiency report for fixed-shape batching.
+
+    Token count = the whitespace estimator (shared with
+    ``token_count``); bucket cap = next power of two >= tokens
+    (floor 64).  ``waste_tokens = cap*docs - real`` is the
+    exact-integer cost of rectangular batching — the number
+    ``pack_sequences`` exists to reclaim.  All integer arithmetic; the
+    one float (waste_ratio) rounds at 6.
+
+    Plan: map-side token count + bit-arithmetic bucketing into a
+    bounded-key (log2 of max length) partial agg — one scan, one
+    1-row-per-bucket exchange.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.greatest(
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")), F.lit(1)
+    ).cast("bigint")
+    # next power of two >= max(toks, _PW_MIN_CAP), as 2^ceil(log2 x)
+    x = F.greatest(toks, F.lit(_PW_MIN_CAP))
+    cap = F.pow(F.lit(2.0), F.ceil(F.log2(x.cast("double")))).cast("bigint")
+    # log2 of an exact power of two is exact in IEEE double on both
+    # engines, so ceil() is bit-stable at bucket boundaries
+    agg = (
+        d.select(toks.alias("toks"), cap.alias("cap"))
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("toks").cast("bigint").alias("real_tokens"),
+        )
+    )
+    padded = F.col("cap") * F.col("docs")
+    return agg.select(
+        "cap",
+        "docs",
+        "real_tokens",
+        padded.alias("padded_tokens"),
+        (padded - F.col("real_tokens")).alias("waste_tokens"),
+        F.round((padded - F.col("real_tokens")) / padded, 6).alias(
+            "waste_ratio"
+        ),
+    )
+
+
+ORACLE_PADDING_WASTE = f"""
+WITH t AS (
+  SELECT greatest(len(string_split(coalesce(text, ''), ' ')), 1)::BIGINT
+           AS toks
+  FROM documents),
+b AS (
+  SELECT toks,
+         CAST(pow(2.0, ceil(log2(CAST(greatest(toks, {_PW_MIN_CAP})
+                                      AS DOUBLE)))) AS BIGINT) AS cap
+  FROM t),
+agg AS (
+  SELECT cap, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(toks) AS BIGINT) AS real_tokens
+  FROM b GROUP BY 1)
+SELECT cap, docs, real_tokens,
+       cap * docs AS padded_tokens,
+       cap * docs - real_tokens AS waste_tokens,
+       round(CAST(cap * docs - real_tokens AS DOUBLE) / (cap * docs), 6)
+         AS waste_ratio
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+TRAINING_QUERIES = {
+    "preference_pairs": q_preference_pairs,
+    "padding_waste": q_padding_waste,
+}
+
+TRAINING_ORACLES = {
+    "preference_pairs": ORACLE_PREFERENCE_PAIRS,
+    "padding_waste": ORACLE_PADDING_WASTE,
+}
+
+_q.QUERIES.update(TRAINING_QUERIES)
+_q.ORACLES.update(TRAINING_ORACLES)

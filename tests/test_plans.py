@@ -704,3 +704,21 @@ def test_zscore_outliers_broadcast_stats_one_fact_scan(spark):
     assert n_nodes(p, "BroadcastHashJoin") == 1
     assert n_nodes(p, "SortMergeJoin") == 0
     assert "EvalPython" not in p
+
+
+def test_preference_pairs_grouped_window_no_self_join(spark):
+    """The rank window hash-partitions by source (never global) and the
+    pairing is a groupBy — no self-join of the ranked stream."""
+    p = plan_of(Q.QUERIES["preference_pairs"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 1
+    assert "hashpartitioning(source" in p
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_padding_waste_single_pass_bounded_keys(spark):
+    """Bucketing is map-side bit arithmetic into one partial agg over
+    log2-many keys — one scan, no joins, no Python."""
+    p = plan_of(Q.QUERIES["padding_waste"](spark, SF_DIR))
+    assert n_nodes(p, "HashAggregate") == 2
+    assert n_nodes(p, "Scan parquet") == 1
+    assert "Join" not in p and "EvalPython" not in p

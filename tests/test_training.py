@@ -1,0 +1,81 @@
+"""Training-set assembly ops (preference pairs / padding waste):
+algorithmic invariants on the Spark side.  Gate-level value-hash
+equality vs DuckDB is covered by scripts/check_queries.py."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from occular_ocr_spark.queries_training import (
+    _PW_MIN_CAP,
+    q_padding_waste,
+    q_preference_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_preference_pairs_margins_and_disjointness(spark):
+    rows = q_preference_pairs(spark, SF).collect()
+    assert rows
+    used = [r.chosen_doc for r in rows] + [r.rejected_doc for r in rows]
+    assert len(used) == len(set(used))  # each doc in at most one pair
+    for r in rows:
+        assert r.margin >= 0  # chosen is never worse
+        assert r.chosen_doc != r.rejected_doc
+    # exact pair count: floor(group_size / 2) per source
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = int(sum(n // 2 for n in docs.groupby("source").size()))
+    assert len(rows) == want
+
+
+def test_preference_pairs_chosen_matches_rank_order(spark):
+    rows = q_preference_pairs(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    score = dict(zip(docs.doc_id, docs.n_chars))
+    for r in rows:
+        cs, rs = score[r.chosen_doc], score[r.rejected_doc]
+        # higher n_chars wins; doc_id breaks exact ties
+        assert (cs, -r.chosen_doc) >= (rs, -r.rejected_doc)
+        assert r.margin == cs - rs
+
+
+def test_padding_waste_buckets_and_accounting(spark):
+    rows = q_padding_waste(spark, SF).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_docs = len(docs)
+    assert sum(r.docs for r in rows) == n_docs
+    for r in rows:
+        # caps are powers of two >= the floor
+        assert r.cap >= _PW_MIN_CAP
+        assert r.cap & (r.cap - 1) == 0
+        assert r.padded_tokens == r.cap * r.docs
+        assert r.waste_tokens == r.padded_tokens - r.real_tokens
+        assert r.waste_tokens >= 0
+        assert r.waste_ratio == pytest.approx(
+            r.waste_tokens / r.padded_tokens, abs=1e-6
+        )
+        # every doc in the bucket fits: real <= cap per doc on average
+        # and the bucket below would not fit at least one doc
+        assert r.real_tokens <= r.padded_tokens
+
+
+def test_padding_waste_bucket_assignment_brute_force(spark):
+    rows = {r.cap: r for r in q_padding_waste(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    want = Counter()
+    toks_sum = Counter()
+    for t in docs.text.fillna(""):
+        toks = max(len(t.split(" ")), 1)
+        cap = max(toks, _PW_MIN_CAP)
+        cap = 2 ** math.ceil(math.log2(cap))
+        want[cap] += 1
+        toks_sum[cap] += toks
+    assert {c: r.docs for c, r in rows.items()} == dict(want)
+    assert {c: r.real_tokens for c, r in rows.items()} == dict(toks_sum)

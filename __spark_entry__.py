@@ -36,8 +36,9 @@ _GATE_PRIORITY = [
     "explode_tokens",
     "extract_plain_docs",
     "assemble_conversations",
-    "sql_udf_extract",
     "incremental_extract",
+    # drift / hygiene (round-4 wave 3)
+    "ks_statistic",
     # relational shell
     "groupby_agg",
     "topk_per_group",
@@ -53,8 +54,9 @@ _GATE_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_minhash_verify",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_embed_cosine",
+    # training assembly (round-4 wave 4)
+    "preference_pairs",
     "dedup_groups",
     # connected components / pipeline
     "cc_largestar",

@@ -371,6 +371,12 @@ def main() -> int:
     os.makedirs(os.path.dirname(details_path), exist_ok=True)
     with open(details_path, "w") as f:
         json.dump(out, f, indent=1)
+    # per-run history (VERDICT r3 #1): bench_details.json is
+    # overwritten each run, so cross-round per-query comparisons append
+    # here with a wall-clock stamp
+    hist_path = os.path.join(os.path.dirname(details_path), "bench_history.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"ts": round(time.time(), 1), **out}) + "\n")
     print(json.dumps(out))
 
     q = out["queries"]

@@ -242,6 +242,13 @@ SHOWCASE = [
     ("domain_blocklist",
      "suffix-exploded blocklist match: map-side >=2-label suffix "
      "expansion + BroadcastHashJoin, replacing the unjoinable LIKE scan"),
+    ("preference_pairs",
+     "RLHF pair construction: source-partitioned rank window + one "
+     "arg-min/max partial agg keyed on the rank — no self-join of the "
+     "ranked stream"),
+    ("padding_waste",
+     "padding-efficiency report: map-side power-of-two bucketing into "
+     "a log2-bounded partial agg, one scan"),
 ]
 
 

@@ -195,6 +195,8 @@ HEADLINE = [
     "zscore_outliers",
     "preference_pairs",
     "padding_waste",
+    "dataset_card_stats",
+    "cross_dedup_sources",
 ]
 
 

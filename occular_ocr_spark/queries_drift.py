@@ -568,6 +568,169 @@ WHERE abs((CAST(r.vc AS DOUBLE) - st.mean_c) / st.std_c) > {_Z_THRESH}
 
 
 # ---------------------------------------------------------------------------
+# dataset_card_stats
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary — the numbers a published
+    dataset card reports per subset: document count, distinct
+    languages, total whitespace tokens, mean length, and the
+    exact-duplicate footprint.
+
+    Duplicate accounting uses the md5 content hash (identical hex on
+    both engines): a doc is "dup" when its hash occurs on >= 2 docs
+    corpus-wide.  Plan: one hash-count aggregation joined back onto the
+    doc stream (the exact-dedup shuffle shape, partial-agg'd on both
+    sides), then ONE bounded-key rollup per source.  avg_chars is the
+    single float surface, computed from exact integer sums.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.greatest(
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("toks"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+    )
+    hc = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_same"))
+    return (
+        d.join(hc, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias(
+                "avg_chars"
+            ),
+            F.sum(F.when(F.col("n_same") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            "avg_chars",
+            "dup_docs",
+            F.round(F.col("dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+ORACLE_DATASET_CARD_STATS = """
+WITH d AS (
+  SELECT doc_id, source, lang,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(greatest(len(string_split(coalesce(text, ''), ' ')), 1)
+              AS BIGINT) AS toks,
+         md5(coalesce(text, '')) AS h
+  FROM documents),
+hc AS (SELECT h, count(*) AS n_same FROM d GROUP BY 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       CAST(sum(CASE WHEN n_same >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_docs,
+       round(CAST(sum(CASE WHEN n_same >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_ratio
+FROM d JOIN hc USING (h)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross_dedup_sources
+# ---------------------------------------------------------------------------
+
+
+def q_cross_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-provenance matrix: how many exact-duplicate document
+    PAIRS each (source_a, source_b) combination contributes — the
+    forensics view that tells a curation team which feeds mirror each
+    other (and which self-duplicate, the diagonal).
+
+    Plan: per-(hash, source) counts first (partial agg collapses the
+    doc stream), then a self-equi-join on the hash whose per-key
+    fan-out is bounded by the source count (20), never by document
+    count — the classic bounded-blocking shape.  Pair arithmetic is
+    exact integers: cnt_a*cnt_b off-diagonal, C(cnt,2) on it.
+
+    The small-SF fixture corpus has no natural exact duplicates, so a
+    deterministic mirror feed is synthesized in-query (house pattern —
+    cf. ``boilerplate_scrub``): every doc_id % 7 == 0 doc re-appears
+    under source 'mirror' (cross-source mass) and every
+    doc_id % 11 == 0 doc appears twice in its own source (diagonal
+    mass).  Natural duplicates at larger SFs count identically.
+    """
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+    )
+    mirror = base.where(F.col("doc_id") % 7 == 0).select(
+        F.lit("mirror").alias("source"), "h"
+    )
+    selfdup = base.where(F.col("doc_id") % 11 == 0).select("source", "h")
+    d = base.select("source", "h").unionAll(mirror).unionAll(selfdup)
+    per = d.groupBy("h", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    a = per.select("h", F.col("source").alias("src_a"), F.col("cnt").alias("ca"))
+    b = per.select("h", F.col("source").alias("src_b"), F.col("cnt").alias("cb"))
+    cross = (
+        a.join(b, "h")
+        .where(F.col("src_a") <= F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                F.col("ca") * (F.col("ca") - 1) / 2,
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("bigint")
+            .alias("pairs"),
+        )
+    )
+    return (
+        cross.groupBy("src_a", "src_b")
+        .agg(F.sum("pairs").cast("bigint").alias("n_doc_pairs"))
+        .where(F.col("n_doc_pairs") > 0)
+    )
+
+
+ORACLE_CROSS_DEDUP_SOURCES = """
+WITH base AS (
+  SELECT doc_id, source, md5(coalesce(text, '')) AS h FROM documents),
+d AS (
+  SELECT source, h FROM base
+  UNION ALL
+  SELECT 'mirror' AS source, h FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT source, h FROM base WHERE doc_id % 11 = 0),
+per AS (SELECT h, source, count(*) AS cnt FROM d GROUP BY 1, 2),
+cross_ AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(CASE WHEN a.source = b.source
+                   THEN a.cnt * (a.cnt - 1) / 2
+                   ELSE a.cnt * b.cnt END AS BIGINT) AS pairs
+  FROM per a JOIN per b ON a.h = b.h AND a.source <= b.source)
+SELECT src_a, src_b, CAST(sum(pairs) AS BIGINT) AS n_doc_pairs
+FROM cross_ GROUP BY 1, 2 HAVING sum(pairs) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -578,6 +741,8 @@ DRIFT_QUERIES = {
     "corr_matrix": q_corr_matrix,
     "domain_blocklist": q_domain_blocklist,
     "zscore_outliers": q_zscore_outliers,
+    "dataset_card_stats": q_dataset_card_stats,
+    "cross_dedup_sources": q_cross_dedup_sources,
 }
 
 DRIFT_ORACLES = {
@@ -587,6 +752,8 @@ DRIFT_ORACLES = {
     "corr_matrix": ORACLE_CORR_MATRIX,
     "domain_blocklist": ORACLE_DOMAIN_BLOCKLIST,
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
+    "dataset_card_stats": ORACLE_DATASET_CARD_STATS,
+    "cross_dedup_sources": ORACLE_CROSS_DEDUP_SOURCES,
 }
 
 _q.QUERIES.update(DRIFT_QUERIES)

@@ -141,3 +141,51 @@ def test_zscore_outliers_thresholded_and_exact(spark):
                 assert by_type[e.event_id].z == pytest.approx(z, abs=1e-5)
             else:
                 assert e.event_id not in by_type
+
+
+def test_dataset_card_stats_consistency(spark):
+    from occular_ocr_spark.queries_drift import q_dataset_card_stats
+
+    rows = q_dataset_card_stats(spark, SF).collect()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(rows) == docs.source.nunique()
+    assert sum(r.n_docs for r in rows) == len(docs)
+    for r in rows:
+        assert 0 <= r.dup_docs <= r.n_docs
+        assert r.dup_ratio == pytest.approx(r.dup_docs / r.n_docs, abs=1e-6)
+        assert r.n_langs >= 1
+        assert r.total_tokens >= r.n_docs  # every doc counts >= 1 token
+
+
+def test_cross_dedup_sources_pair_accounting(spark):
+    from occular_ocr_spark.queries_drift import q_cross_dedup_sources
+
+    rows = q_cross_dedup_sources(spark, SF).collect()
+    assert rows
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    # synthesized mirror pairs: each doc_id%7==0 doc pairs its source
+    # with 'mirror' once per in-source copy — docs also divisible by 11
+    # carry a second in-source copy, so they contribute 2
+    # (texts are unique at this SF, so copies come only from synthesis)
+    sub = docs[docs.doc_id % 7 == 0]
+    m = (1 + (sub.doc_id % 11 == 0)).groupby(sub.source).sum()
+    got_mirror = {
+        (r.src_a, r.src_b): r.n_doc_pairs
+        for r in rows
+        if "mirror" in (r.src_a, r.src_b)
+    }
+    for src, n in m.items():
+        a, b = sorted([src, "mirror"])
+        assert got_mirror[(a, b)] == n, (src, n)
+    # diagonal: docs with doc_id%11==0 contribute C(2,2)=1 pair each
+    s = docs[docs.doc_id % 11 == 0].groupby("source").size()
+    got_diag = {r.src_a: r.n_doc_pairs for r in rows if r.src_a == r.src_b}
+    for src, n in s.items():
+        assert got_diag.get(src, 0) >= n
+    for r in rows:
+        assert r.src_a <= r.src_b  # canonical orientation
+        assert r.n_doc_pairs > 0

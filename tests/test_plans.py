@@ -722,3 +722,23 @@ def test_padding_waste_single_pass_bounded_keys(spark):
     assert n_nodes(p, "HashAggregate") == 2
     assert n_nodes(p, "Scan parquet") == 1
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_dataset_card_stats_two_aggs_one_join(spark):
+    """Hash counts + per-source rollup: two partial-agg stages around
+    one hash-keyed join; no Python, no cartesian."""
+    p = plan_of(Q.QUERIES["dataset_card_stats"](spark, SF_DIR))
+    assert n_nodes(p, "HashAggregate") >= 4  # partial+final x two aggs
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert "EvalPython" not in p
+
+
+def test_cross_dedup_sources_bounded_blocking_join(spark):
+    """The self-join runs on per-(hash, source) COUNTS (fan-out bounded
+    by source cardinality), never on the raw doc stream."""
+    p = plan_of(Q.QUERIES["cross_dedup_sources"](spark, SF_DIR))
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert "EvalPython" not in p
+    # the join inputs are aggregated: at least one HashAggregate on
+    # each side before the join
+    assert n_nodes(p, "HashAggregate") >= 4

@@ -249,6 +249,10 @@ SHOWCASE = [
     ("padding_waste",
      "padding-efficiency report: map-side power-of-two bucketing into "
      "a log2-bounded partial agg, one scan"),
+    ("cross_dedup_sources",
+     "duplicate-provenance matrix: the self-join runs on per-(hash, "
+     "source) COUNTS — fan-out bounded by source cardinality, never by "
+     "document count"),
 ]
 
 

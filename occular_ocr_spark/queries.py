@@ -2857,3 +2857,4 @@ from . import queries_analytics as _queries_analytics  # noqa: E402,F401
 from . import queries_round4 as _queries_round4  # noqa: E402,F401
 from . import queries_drift as _queries_drift  # noqa: E402,F401
 from . import queries_training as _queries_training  # noqa: E402,F401
+from . import queries_quality as _queries_quality  # noqa: E402,F401

@@ -1,0 +1,356 @@
+"""Corpus-quality catalog, round 4 (wave 6): three operators the
+filtering / reporting side of a pretraining-data platform runs —
+
+* ``gopher_rules`` — the published Gopher repetition-free quality
+  gates (Rae et al. 2021, "Scaling Language Models", Appendix A1.1)
+  as a per-source report: word-count bounds, mean-word-length bounds,
+  alphabetic-word ratio, stopword presence.  Every threshold is
+  evaluated by integer cross-multiplication (``4*n <= sum_len`` rather
+  than ``sum_len/n >= 4.0``) so the keep/fail decision is bit-exact on
+  both engines with no float division anywhere in the gate.
+* ``ngram_diversity`` — per-source distinct-trigram ratio (the
+  self-repetition / templated-content signal used to down-weight
+  boilerplate-heavy sources): word trigrams assemble map-side from the
+  token array, then a two-level partial agg (``(source, trigram)`` →
+  ``source``) counts distinct vs total.
+* ``discounted_returns`` — RL-style credit assignment over agent
+  transcripts: the horizon-8, gamma = 1/2 discounted return of each
+  turn.  Returns are computed in DYADIC FIXED POINT (``ret_x128 =
+  sum 2^(7-j) * reward_{t+j}`` — pure 64-bit integers), so the float
+  surface ``ret = ret_x128 / 128.0`` is an exact dyadic rational and
+  bit-identical across engines; no float accumulation order exists to
+  diverge.
+
+House contract: DuckDB value-hash oracle with identical aliases,
+self-registration into queries.QUERIES / ORACLES on import, semantics
+tests plus physical-plan assertions in tests/.
+
+Reference parity: axis-B net-new corpus ops (the reference
+Bodhi42/Occular-ocr engine is per-document OCR only; SURVEY.md §2,
+"LLM-data pipeline ops").  ``gopher_rules`` is the document-level
+sibling of the transcript-level ``turn_structure_qa`` gate
+(queries_transcript.py); ``discounted_returns`` extends the
+``reply_latency_stats`` / ``tool_transitions`` trajectory family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+from .queries_transcript import _ORACLE_TURNS, _turns
+
+# ---------------------------------------------------------------------------
+# gopher_rules
+# ---------------------------------------------------------------------------
+
+# Bounds follow the published Gopher rule SHAPE; the numeric values are
+# scaled to the synthetic fixture corpus (10-99 words/doc) so every rule
+# has live pass AND fail populations for the gate to pin.
+_GR_MIN_WORDS, _GR_MAX_WORDS = 20, 80  # Gopher: 50..100k
+_GR_MWL_LO, _GR_MWL_HI = 4, 10  # Gopher: mean word length 3..10
+_GR_ALPHA_NUM, _GR_ALPHA_DEN = 4, 5  # >= 80% words contain a letter
+_GR_STOPWORDS = ("the", "and", "of", "to", "in")
+_GR_MIN_STOP = 1  # Gopher: >= 2 distinct of 8; fixture vocab carries
+#                    at most one of the list, so the scaled gate is >= 1
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-gate report: docs, kept, and per-rule failure
+    counts (word-count bounds / mean-word-length bounds / alphabetic
+    ratio / stopword presence).
+
+    Every comparison is integer cross-multiplication — e.g. mean word
+    length in [4, 10] is ``4*n <= sum_len AND sum_len <= 10*n`` — so
+    there is NO float division in any keep decision and the report is
+    bit-exact by construction.
+
+    Plan: one scan; the token array, per-word filters, and all four
+    flags evaluate map-side inside a single projection; the only
+    exchange is the bounded-key (one row per source) partial agg.
+    At 100 TB this is the embarrassingly-parallel shape: zero
+    row-scaled shuffles, report size = |sources|.
+    """
+    d = _t(spark, sf_dir, "documents")
+    stop_hits = " + ".join(
+        f"CAST(array_contains(ws, '{s}') AS INT)" for s in _GR_STOPWORDS
+    )
+    flagged = d.select(
+        "source",
+        F.expr("filter(split(coalesce(text, ''), ' '), w -> w <> '')").alias(
+            "ws"
+        ),
+    ).select(
+        "source",
+        F.expr("CAST(size(ws) AS BIGINT)").alias("n"),
+        F.expr(
+            "aggregate(ws, 0L, (acc, w) -> acc + CAST(length(w) AS BIGINT))"
+        ).alias("sum_len"),
+        F.expr(
+            "CAST(size(filter(ws, w -> w rlike '[A-Za-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(f"CAST({stop_hits} AS BIGINT)").alias("stop_hits"),
+    )
+    ok_count = (F.col("n") >= _GR_MIN_WORDS) & (F.col("n") <= _GR_MAX_WORDS)
+    ok_mwl = (
+        (F.col("n") > 0)
+        & (F.lit(_GR_MWL_LO) * F.col("n") <= F.col("sum_len"))
+        & (F.col("sum_len") <= F.lit(_GR_MWL_HI) * F.col("n"))
+    )
+    ok_alpha = (F.col("n") > 0) & (
+        F.lit(_GR_ALPHA_DEN) * F.col("n_alpha")
+        >= F.lit(_GR_ALPHA_NUM) * F.col("n")
+    )
+    ok_stop = F.col("stop_hits") >= _GR_MIN_STOP
+    keep = ok_count & ok_mwl & ok_alpha & ok_stop
+    as_fail = lambda ok: F.sum(  # noqa: E731
+        F.when(ok, F.lit(0)).otherwise(F.lit(1))
+    ).cast("bigint")
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("kept"),
+        as_fail(ok_count).alias("fail_word_count"),
+        as_fail(ok_mwl).alias("fail_mean_word_len"),
+        as_fail(ok_alpha).alias("fail_alpha_ratio"),
+        as_fail(ok_stop).alias("fail_stopwords"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "kept",
+        "fail_word_count",
+        "fail_mean_word_len",
+        "fail_alpha_ratio",
+        "fail_stopwords",
+        F.round(F.col("kept") / F.col("n_docs"), 6).alias("kept_ratio"),
+    )
+
+
+_GR_STOP_SQL = " + ".join(
+    f"CAST(list_contains(ws, '{s}') AS INT)" for s in _GR_STOPWORDS
+)
+
+ORACLE_GOPHER_RULES = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> w <> '') AS ws
+  FROM documents),
+flags AS (
+  SELECT source,
+         CAST(len(ws) AS BIGINT) AS n,
+         CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST({_GR_STOP_SQL} AS BIGINT) AS stop_hits
+  FROM toks),
+ok AS (
+  SELECT source,
+         (n >= {_GR_MIN_WORDS} AND n <= {_GR_MAX_WORDS}) AS ok_count,
+         (n > 0 AND {_GR_MWL_LO} * n <= sum_len
+                AND sum_len <= {_GR_MWL_HI} * n) AS ok_mwl,
+         (n > 0 AND {_GR_ALPHA_DEN} * n_alpha
+                    >= {_GR_ALPHA_NUM} * n) AS ok_alpha,
+         (stop_hits >= {_GR_MIN_STOP}) AS ok_stop
+  FROM flags)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ok_count AND ok_mwl AND ok_alpha AND ok_stop
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN ok_count THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(sum(CASE WHEN ok_mwl THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_mean_word_len,
+       CAST(sum(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_alpha_ratio,
+       CAST(sum(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_stopwords,
+       round(CAST(sum(CASE WHEN ok_count AND ok_mwl AND ok_alpha AND ok_stop
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS kept_ratio
+FROM ok GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_diversity
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-trigram diversity: distinct trigrams / total
+    trigrams — the templated-content signal (a source full of
+    boilerplate repeats the same trigrams; diverse prose doesn't).
+
+    Plan: trigrams assemble MAP-SIDE from the split-token array
+    (``transform(sequence(...))`` — no window, no self-join), then the
+    standard two-level distinct shape: partial-agg groupBy
+    ``(source, trigram)`` followed by a bounded ``source`` rollup.
+    At 100 TB the first agg is the only row-scaled exchange and it
+    map-side combines; the rollup reuses its partitioning
+    (hashpartitioning on a prefix key serves the superset — the house
+    repetition_ratio pattern).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tg = d.select(
+        "source",
+        F.expr("filter(split(coalesce(text, ''), ' '), w -> w <> '')").alias(
+            "ws"
+        ),
+    ).select(
+        "source",
+        # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark, so
+        # short docs guard to an empty array explicitly
+        F.expr(
+            "CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), i -> "
+            "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
+            "element_at(ws, i + 2))) "
+            "ELSE array() END"
+        ).alias("tg"),
+    )
+    per_tri = (
+        tg.select("source", F.explode("tg").alias("trigram"))
+        .groupBy("source", "trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = per_tri.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_trigrams"),
+        F.sum("cnt").cast("bigint").alias("total_trigrams"),
+    )
+    return agg.select(
+        "source",
+        "distinct_trigrams",
+        "total_trigrams",
+        F.round(
+            F.col("distinct_trigrams") / F.col("total_trigrams"), 6
+        ).alias("diversity"),
+    )
+
+
+ORACLE_NGRAM_DIVERSITY = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> w <> '') AS ws
+  FROM documents),
+tris AS (
+  SELECT source,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, greatest(len(ws) - 1, 1))]) AS trigram
+  FROM toks),
+per_tri AS (
+  SELECT source, trigram, count(*) AS cnt FROM tris GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS distinct_trigrams,
+       CAST(sum(cnt) AS BIGINT) AS total_trigrams,
+       round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS diversity
+FROM per_tri GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# discounted_returns
+# ---------------------------------------------------------------------------
+
+_DR_HORIZON = 8  # lookahead turns; gamma = 1/2, so weight_j = 2^(7-j)
+
+
+def q_discounted_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn discounted return over agent trajectories: reward =
+    turn text length, ``G_t = sum_{{j<8}} (1/2)^j * r_{{t+j}}`` within
+    each conversation.
+
+    The trick that makes this gate-able: returns are computed in
+    DYADIC FIXED POINT — ``ret_x128 = sum 2^(7-j) * r_{{t+j}}`` is pure
+    64-bit integer arithmetic, and the float surface
+    ``ret = ret_x128 / 128.0`` is an exact dyadic rational, so both
+    engines produce bit-identical doubles with no accumulation-order
+    hazard (the house ewma_trailing convention, taken to full
+    exactness).
+
+    Plan: ONE exchange — the 8 ``lead()`` taps share a single window
+    (hash-partitioned on conv_id, ordered by turn_idx), so Spark
+    evaluates them in one WindowExec over one shuffle; the weighted
+    sum is a map-side projection.  At 100 TB the input is already
+    Iceberg-bucketed by hash(conv_id) (the north rule's layout) and
+    the window becomes a local sort.  Reuses the deterministic
+    transcript synthesis shared by the queries_transcript family.
+    """
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias(
+            "reward"
+        ),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ret = None
+    for j in range(_DR_HORIZON):
+        weight = 1 << (_DR_HORIZON - 1 - j)
+        tap = F.coalesce(
+            F.lead("reward", j).over(w) if j else F.col("reward"),
+            F.lit(0),
+        )
+        term = F.lit(weight) * tap
+        ret = term if ret is None else ret + term
+    out = t.withColumn("ret_x128", ret.cast("bigint"))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "reward",
+        "ret_x128",
+        (F.col("ret_x128") / F.lit(float(1 << (_DR_HORIZON - 1)))).alias(
+            "ret"
+        ),
+    )
+
+
+_DR_TAPS_SQL = " + ".join(
+    (
+        f"{1 << (_DR_HORIZON - 1 - j)} * coalesce(lead(reward, {j}) "
+        "OVER (PARTITION BY conv_id ORDER BY turn_idx), 0)"
+        if j
+        else f"{1 << (_DR_HORIZON - 1)} * reward"
+    )
+    for j in range(_DR_HORIZON)
+)
+
+ORACLE_DISCOUNTED_RETURNS = f"""
+WITH turns AS ({_ORACLE_TURNS}),
+r AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(coalesce(text, '')) AS BIGINT) AS reward
+  FROM turns),
+fx AS (
+  SELECT conv_id, turn_idx, role, reward,
+         CAST({_DR_TAPS_SQL} AS BIGINT) AS ret_x128
+  FROM r)
+SELECT conv_id, turn_idx, role, reward, ret_x128,
+       ret_x128 / {float(1 << (_DR_HORIZON - 1))} AS ret
+FROM fx
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+QUALITY_QUERIES = {
+    "gopher_rules": q_gopher_rules,
+    "ngram_diversity": q_ngram_diversity,
+    "discounted_returns": q_discounted_returns,
+}
+
+QUALITY_ORACLES = {
+    "gopher_rules": ORACLE_GOPHER_RULES,
+    "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
+    "discounted_returns": ORACLE_DISCOUNTED_RETURNS,
+}
+
+_q.QUERIES.update(QUALITY_QUERIES)
+_q.ORACLES.update(QUALITY_ORACLES)

@@ -253,6 +253,13 @@ SHOWCASE = [
      "duplicate-provenance matrix: the self-join runs on per-(hash, "
      "source) COUNTS — fan-out bounded by source cardinality, never by "
      "document count"),
+    ("gopher_rules",
+     "Gopher quality gates: all four rules evaluate map-side by integer "
+     "cross-multiplication; the only exchange is the per-source partial "
+     "agg"),
+    ("discounted_returns",
+     "discounted returns in dyadic fixed point: 8 lead() taps share ONE "
+     "WindowExec over one conv_id exchange"),
 ]
 
 

@@ -742,3 +742,33 @@ def test_cross_dedup_sources_bounded_blocking_join(spark):
     # the join inputs are aggregated: at least one HashAggregate on
     # each side before the join
     assert n_nodes(p, "HashAggregate") >= 4
+
+
+def test_gopher_rules_map_side_flags_one_exchange(spark):
+    """All four Gopher gates evaluate map-side in one projection; the
+    only exchange is the bounded per-source partial agg."""
+    p = plan_of(Q.QUERIES["gopher_rules"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") == 1
+    assert n_nodes(p, "HashAggregate") == 2  # partial + final
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_ngram_diversity_two_level_agg_no_window(spark):
+    """Trigrams assemble map-side (no window, no self-join); the
+    (source, trigram) partial agg is the only row-scaled exchange and
+    the source rollup reuses its partitioning."""
+    p = plan_of(Q.QUERIES["ngram_diversity"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 0
+    assert "Join" not in p and "EvalPython" not in p
+    assert n_nodes(p, "Exchange") <= 2
+    assert "hashpartitioning(source" in p
+
+
+def test_discounted_returns_single_window_one_exchange(spark):
+    """The 8 lead() taps share one WindowExec over one conv_id
+    exchange; the weighted dyadic sum is a map-side projection."""
+    p = plan_of(Q.QUERIES["discounted_returns"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 1
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(conv_id" in p
+    assert "Join" not in p and "EvalPython" not in p

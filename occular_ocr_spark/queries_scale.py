@@ -51,10 +51,18 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     here as a standalone relational operator.
     """
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # revenue accumulates in DECIMAL: prices/discounts are 2-dp values
+    # stored as doubles, so the product is exact at scale 4 and the sum
+    # is order-independent — a double sum over a salted join visits
+    # rows in a different order than the oracle's plan and diverged in
+    # the 4th decimal at sf0.1 (the house decimal-exact-sum trick)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
     )
     fact = li.withColumn(
         "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_BUCKETS)).cast("int")
@@ -68,14 +76,16 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("rev"), 4).alias("revenue"),
+        F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
     )
 
 
 ORACLE_SKEW_JOIN_SALTED = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE), 4) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -492,13 +502,20 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             "c_x",
             "c_y",
-            F.round(
-                F.log(
-                    F.col("c_xy").cast("double")
-                    * F.col("n_tok")
-                    / (F.col("c_x").cast("double") * F.col("c_y"))
-                ),
-                4,
+            # + 0.0 normalizes IEEE -0.0 to +0.0: a bigram whose PMI
+            # rounds to zero from below hits -0.0 on one engine and
+            # +0.0 on the other (first seen at sf0.1), and the gate
+            # hashes their reprs differently
+            (
+                F.round(
+                    F.log(
+                        F.col("c_xy").cast("double")
+                        * F.col("n_tok")
+                        / (F.col("c_x").cast("double") * F.col("c_y"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
         )
     )
@@ -522,7 +539,7 @@ total AS (SELECT sum(c_w) AS n_tok FROM uni)
 SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
        CAST(u1.c_w AS BIGINT) AS c_x, CAST(u2.c_w AS BIGINT) AS c_y,
        round(ln(CAST(b.c_xy AS DOUBLE) * t.n_tok
-                / (CAST(u1.c_w AS DOUBLE) * u2.c_w)), 4) AS pmi
+                / (CAST(u1.c_w AS DOUBLE) * u2.c_w)), 4) + 0.0 AS pmi
 FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w, total t
 """
 

@@ -88,15 +88,18 @@ def test_sample_k_per_group_exact_k(spark):
     assert again == {(r["doc_id"], r["source"], r["rk"]) for r in rows}
 
 
-def test_sketch_rollup_merge_is_lossless_and_bounded(spark):
-    """HLL union-of-sketches must estimate IDENTICALLY to the
-    sketch-of-union (register-wise max at equal lgConfigK), and the
-    estimate must be inside the 5% contract vs exact."""
+def test_sketch_rollup_merge_is_associative_and_bounded(spark):
+    """HLL union must be rollup-path independent (flat day union ==
+    two-level day->month->total union, exactly), and the estimate must
+    be inside the 5% contract vs exact.  Direct-vs-union equality is
+    deliberately NOT asserted — DataSketches keeps small inputs in
+    exact coupon mode while many-way unions may promote to dense, a
+    mode artifact, not a merge property (first seen at sf0.1)."""
     from occular_ocr_spark.queries_warehouse import q_sketch_rollup
 
     rows = q_sketch_rollup(spark, SF).collect()
     assert rows
-    assert all(r["merge_lossless"] for r in rows)
+    assert all(r["merge_associative"] for r in rows)
     assert all(r["estimate_ok"] for r in rows)
     # exact counts cross-checked against a direct distinct
     from occular_ocr_spark.queries import _t

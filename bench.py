@@ -293,6 +293,19 @@ def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
     # catalog numbers above are sf0.1-sized; the scaling file carries the
     # throughput story that matters at 10^12 turns.
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    # The literal N-vs-4N-executors criterion run (real driver/executor
+    # split via local-cluster mode), when recorded:
+    lc_path = os.path.join(bench_dir, "local_cluster.json")
+    if os.path.exists(lc_path):
+        with open(lc_path) as f:
+            lc = json.load(f)
+        out["scaling_local_cluster_1_vs_4_executors"] = {
+            "turns_per_sec": {
+                str(l["n_executors"]): l["turns_per_sec"] for l in lc["legs"]
+            },
+            "raw_efficiency": lc["n_to_4n_raw_efficiency"],
+            "loads_at_start": [l["host_load_at_start"] for l in lc["legs"]],
+        }
     scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
@@ -430,6 +443,10 @@ def main() -> int:
         headline["scaling_canonical_quiet_run"] = out["scaling_canonical"]
     if "scaling_quiet_peak" in out:
         headline["scaling_quiet_peak_run"] = out["scaling_quiet_peak"]
+    if "scaling_local_cluster_1_vs_4_executors" in out:
+        headline["scaling_local_cluster_1_vs_4_executors"] = out[
+            "scaling_local_cluster_1_vs_4_executors"
+        ]
     print(json.dumps(headline))
     return 0
 

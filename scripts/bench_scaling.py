@@ -170,6 +170,76 @@ def _spawn_child(
     )
 
 
+def _spawn_lc_child(n_execs: int, cores_each: int, fixture: str, pkg_zip: str):
+    """spark-submit against ``local-cluster[N, C, mem]`` — a REAL
+    multi-executor cluster in one box: one driver scheduling N separate
+    executor JVMs with cross-executor shuffle, exactly the deployment
+    surface the north rule names (``spark-submit --py-files`` at
+    cluster sizes N and 4N executors), minus only the network."""
+    total = n_execs * cores_each
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{total - 1}",
+        "spark-submit",
+        "--master",
+        f"local-cluster[{n_execs},{cores_each},6144]",
+        "--driver-memory",
+        "8g",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--conf",
+        "spark.local.dir=/dev/shm/occ-spark-local",
+        "--py-files",
+        pkg_zip,
+        os.path.abspath(__file__),
+        "--child",
+        str(total),
+        "--fixture",
+        fixture,
+    ]
+    return subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd="/tmp"
+    )
+
+
+def _run_local_cluster(fixture: str, pkg_zip: str, cores_each: int = 8) -> dict:
+    """The literal N-vs-4N-executors criterion run: local-cluster[1,8]
+    vs local-cluster[4,8], same job, same input, each leg taskset-pinned
+    to exactly the cores its executors own.  Unlike the disjoint-shard
+    executor proxy (``_run_executor_mode``), this is ONE application per
+    leg — a real driver/executor split with cross-executor shuffles —
+    so its efficiency number carries no shard-skew caveat."""
+    legs = []
+    for n in (1, 4):
+        load = _wait_quiet(f"local-cluster {n}x{cores_each}")
+        p = _spawn_lc_child(n, cores_each, fixture, pkg_zip)
+        out, err = p.communicate()
+        if p.returncode != 0:
+            sys.stderr.write(err[-4000:])
+            raise RuntimeError(f"local-cluster {n}x{cores_each} failed rc={p.returncode}")
+        r = json.loads(
+            [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+        )
+        r["n_executors"] = n
+        r["host_load_at_start"] = load
+        legs.append(r)
+        print(
+            f"local-cluster[{n},{cores_each}]: {r['turns_per_sec']:,} turns/s",
+            file=sys.stderr,
+        )
+    eff = (legs[1]["turns_per_sec"] / legs[0]["turns_per_sec"]) / 4
+    payload = {
+        "mode": f"spark-submit --py-files, master=local-cluster[N,{cores_each},6144]",
+        "cores_each": cores_each,
+        "legs": legs,
+        "n_to_4n_raw_efficiency": round(eff, 3),
+    }
+    with open(os.path.join(REPO, "BENCH", "local_cluster.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    return payload
+
+
 def _run_executor_mode(
     fixture: str, pkg_zip: str, n_jvms: int = 4, cores_each: int = 8
 ) -> dict:
@@ -405,6 +475,39 @@ def _report(
         (i + 1, h) for i, h in enumerate(history)
         if h.get("max_load") is not None and h["max_load"] < 1.5
     ]
+    # Multi-executor cluster section: rendered from the latest
+    # local-cluster N-vs-4N run when one has been recorded
+    # (`python scripts/bench_scaling.py --local-cluster`).
+    lc_md = ""
+    lc_path = os.path.join(REPO, "BENCH", "local_cluster.json")
+    if os.path.exists(lc_path):
+        with open(lc_path) as f:
+            lc = json.load(f)
+        lc_rows = "\n".join(
+            f"| local-cluster[{l['n_executors']},{lc['cores_each']}] |"
+            f" {l['sec']:.1f} | {l['turns_per_sec']:,.0f} |"
+            f" {l['host_load_at_start']:.2f} |"
+            for l in lc["legs"]
+        )
+        lc_md = f"""
+## Multi-executor cluster: 1 vs 4 REAL executors (local-cluster mode)
+
+The literal north-rule shape, no proxy: ONE Spark driver scheduling
+separate executor JVMs (cross-executor shuffle, independent heaps and
+Python worker pools), launched via `spark-submit --py-files` against
+`local-cluster[N,{lc['cores_each']},6144]` — N = 1 executor vs
+4N = 4 executors of {lc['cores_each']} cores each, taskset-pinned to
+exactly the cores their executors own, same job, same input, one
+application per leg (unlike the disjoint-shard proxy below, no
+shard-skew caveat).
+
+| configuration | wall sec | turns/sec | load at start |
+|---|---|---|---|
+{lc_rows}
+
+**N→4N raw scaling efficiency: {lc['n_to_4n_raw_efficiency']:.3f}**
+(threshold ≥ 0.8).
+"""
     canon_md = ""
     if quiet:
         passing = [
@@ -539,7 +642,7 @@ Efficiency (4x8 vs 1x8): **{exec_eff:.3f}** raw;
 
 Raw numbers: `BENCH/scaling.json`.  Reproduce:
 `python scripts/bench_scaling.py --n-convs {n_convs}`.
-
+{lc_md}
 ## Catalog-entry extraction throughput (sf0.1, cross-round attribution)
 
 The `extract_transcripts` catalog entry measures 5,000 turns through
@@ -579,9 +682,32 @@ def main() -> int:
         help="re-render BENCH/BASELINE.md from the existing scaling.json "
              "and run history without re-measuring anything",
     )
+    ap.add_argument(
+        "--local-cluster", action="store_true",
+        help="run ONLY the local-cluster[1,8] vs local-cluster[4,8] "
+             "N-vs-4N-executors legs (real driver/executor split), "
+             "record BENCH/local_cluster.json and re-render BASELINE.md",
+    )
     args = ap.parse_args()
     if args.child is not None:
         return child_main(args.child, args.fixture, args.shard, args.n_shards)
+    if args.local_cluster:
+        fixture = _ensure_fixture(args.n_convs, args.seed)
+        pkg = _build_pkg_zip()
+        lc = _run_local_cluster(fixture, pkg)
+        print(json.dumps(lc))
+        # fold the new section into BASELINE.md from the existing run data
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            s = json.load(f)
+        _report(
+            s["levels"],
+            {int(k): v for k, v in s["hardware_ceiling_turns_per_sec"].items()},
+            s["executor_mode_4x8"],
+            s["fixture"]["n_convs"],
+            s["fixture"]["seed"],
+            append_history=False,
+        )
+        return 0
     if args.rerender:
         with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
             s = json.load(f)

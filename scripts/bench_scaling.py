@@ -237,6 +237,22 @@ def _run_local_cluster(fixture: str, pkg_zip: str, cores_each: int = 8) -> dict:
     }
     with open(os.path.join(REPO, "BENCH", "local_cluster.json"), "w") as f:
         json.dump(payload, f, indent=2)
+    # cross-run history (host-noise control, same policy as
+    # scaling_runs.jsonl): the latest run renders in BASELINE.md, every
+    # run stays on record
+    with open(os.path.join(REPO, "BENCH", "local_cluster_runs.jsonl"), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ts": round(time.time(), 1),
+                    "eff": payload["n_to_4n_raw_efficiency"],
+                    "tps_1": legs[0]["turns_per_sec"],
+                    "tps_4": legs[1]["turns_per_sec"],
+                    "max_load": max(l["host_load_at_start"] for l in legs),
+                }
+            )
+            + "\n"
+        )
     return payload
 
 
@@ -378,6 +394,24 @@ def _measure_ceiling(fixture: str, levels: list[int], n_sample: int = 400_000) -
     return out
 
 
+def _lc_history_md() -> str:
+    """One-line cross-run summary of every recorded local-cluster run."""
+    path = os.path.join(REPO, "BENCH", "local_cluster_runs.jsonl")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        runs = [json.loads(l) for l in f if l.strip()]
+    if not runs:
+        return ""
+    effs = ", ".join(f"{r['eff']:.3f}" for r in runs)
+    n_ok = sum(1 for r in runs if r["eff"] >= 0.8)
+    return (
+        f"\nRuns on record: {len(runs)} "
+        f"(raw efficiencies: {effs}; ≥ 0.8 in {n_ok}/{len(runs)}; "
+        f"full rows in `BENCH/local_cluster_runs.jsonl`)."
+    )
+
+
 def _report(
     results: list[dict], ceiling: dict, executor_mode: dict, n_convs: int,
     seed: int, append_history: bool = True,
@@ -506,7 +540,7 @@ shard-skew caveat).
 {lc_rows}
 
 **N→4N raw scaling efficiency: {lc['n_to_4n_raw_efficiency']:.3f}**
-(threshold ≥ 0.8).
+(threshold ≥ 0.8).{_lc_history_md()}
 """
     canon_md = ""
     if quiet:

@@ -469,17 +469,26 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_w"))
     )
     # size-1 guard is load-bearing: sequence(1, 0) DESCENDS ([1, 0]) and
-    # toks[1] then throws under ANSI mode on any space-free document
+    # toks[1] then throws under ANSI mode on any space-free document.
+    # The generator explodes a plain int sequence and builds the bigram
+    # string AFTER the explode — a higher-order transform(sequence, λ)
+    # here runs interpreted outside whole-stage codegen (the
+    # ngram_diversity lesson, measured 8x there); element_at + concat_ws
+    # on the exploded row stays in the codegen span.
     big = (
         toks.select(
             F.explode(
                 F.when(
-                    F.size("toks") >= 2,
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 1),"
-                        " i -> concat(toks[i - 1], ' ', toks[i]))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
+                    F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("toks", F.col("i")),
+                F.element_at("toks", F.col("i") + 1),
             ).alias("bg")
         )
         .groupBy("bg")

@@ -500,7 +500,80 @@ FROM ord o JOIN docs d USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# pareto_frontier — 2D skyline selection without a self-join (wave 9)
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal document selection on two quality axes — the
+    multi-objective "keep the frontier" pass a curation pipeline runs
+    when no single score orders the corpus (here: maximize length
+    ``n_chars`` AND lexical variety, the distinct-word ratio in integer
+    basis points — anti-correlated axes, so the frontier is a real
+    curve, not a corner).  A document is kept iff no other document is
+    >= on both axes and > on at least one.
+
+    The naive plan is an O(n²) dominance self-join.  The scale shape
+    used here is the classic 2D-skyline sweep, distributed with the
+    house value-level decomposition — NO self-join, NO global sort of
+    row data:
+
+    1. per-d1-value max of d2 (partial agg; at most |distinct d1|
+       rows, bounded by the value range, not the corpus);
+    2. one ordered prefix-max window over those value rows, d1 DESC,
+       strictly-preceding frame -> M(d1) = best d2 among all docs with
+       strictly larger d1 (the only ordered structure, value-sized);
+    3. broadcast-join back: keep rows with d2 == m(d1) (not beaten at
+       their own d1) and d2 > M(d1) (not beaten from above).  Ties on
+       both axes stay on the frontier (neither strictly dominates).
+    """
+    # d2 in integer basis points (x10000, integer division): exact on
+    # both engines, no float ratio anywhere in the dominance test
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("d1"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 10000"
+            " DIV size(split(text, ' ')) AS INT)"
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    m = d.groupBy("d1").agg(F.max("d2").alias("m"))
+    wv = Window.orderBy(F.col("d1").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = m.select(
+        "d1", "m", F.coalesce(F.max("m").over(wv), F.lit(-1)).alias("above")
+    )
+    return (
+        d.join(F.broadcast(levels), "d1")
+        .where((F.col("d2") == F.col("m")) & (F.col("d2") > F.col("above")))
+        .select(
+            "doc_id",
+            F.col("d1").alias("n_chars"),
+            F.col("d2").alias("variety_bp"),
+        )
+    )
+
+
+ORACLE_PARETO_FRONTIER = """
+WITH m AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS d1,
+         CAST(length(list_distinct(string_split(text, ' '))) * 10000
+              // length(string_split(text, ' ')) AS INT) AS d2
+  FROM documents)
+SELECT a.doc_id, a.d1 AS n_chars, a.d2 AS variety_bp
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.d1 >= a.d1 AND b.d2 >= a.d2 AND (b.d1 > a.d1 OR b.d2 > a.d2))
+"""
+
+
 CURATION_QUERIES = {
+    "pareto_frontier": q_pareto_frontier,
     "dup_span_report": q_dup_span_report,
     "scrub_dup_spans": q_scrub_dup_spans,
     "unigram_logprob": q_unigram_logprob,
@@ -509,6 +582,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "pareto_frontier": ORACLE_PARETO_FRONTIER,
     "dup_span_report": ORACLE_DUP_SPAN_REPORT,
     "scrub_dup_spans": ORACLE_SCRUB_DUP_SPANS,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,

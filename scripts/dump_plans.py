@@ -275,6 +275,10 @@ SHOWCASE = [
      "seeded global permutation via two-level rank: per-key counts -> "
      "65,536-row-bounded prefix window -> parallel within-key "
      "row_number; row-shaped data is never range-partitioned"),
+    ("pareto_frontier",
+     "2D skyline without the O(n^2) dominance self-join: value-level "
+     "max agg -> prefix-max window over value rows -> one broadcast "
+     "join back"),
 ]
 
 

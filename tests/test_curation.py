@@ -157,3 +157,56 @@ def test_curation_entries_total_on_degenerate_docs(spark, tmp_path):
         "cdc_chunks",
     ):
         assert QUERIES[name](spark, d).count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier (wave 9)
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_matches_bruteforce_dominance(spark):
+    SF = "/root/testdata/sf0.001"
+    from occular_ocr_spark.queries import _t
+    from occular_ocr_spark.queries_curation import q_pareto_frontier
+
+    import pyspark.sql.functions as F
+
+    docs = (
+        _t(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("d1"),
+            F.expr(
+                "CAST(size(array_distinct(split(text, ' '))) * 10000"
+                " DIV size(split(text, ' ')) AS INT)"
+            ).alias("d2"),
+        )
+        .collect()
+    )
+    pts = [(r["doc_id"], r["d1"], r["d2"]) for r in docs]
+    want = {
+        i
+        for i, a1, a2 in pts
+        if not any(
+            (b1 >= a1 and b2 >= a2 and (b1 > a1 or b2 > a2))
+            for _, b1, b2 in pts
+        )
+    }
+    got = {r["doc_id"] for r in q_pareto_frontier(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 1  # a real curve, not a single corner point
+
+
+def test_pareto_frontier_plan_no_self_join(spark):
+    SF = "/root/testdata/sf0.001"
+    from occular_ocr_spark.queries_curation import q_pareto_frontier
+    from tests.test_plans import n_nodes, plan_of
+
+    p = plan_of(q_pareto_frontier(spark, SF))
+    # one broadcast join against the value-level frontier table; the
+    # O(n^2) dominance self-join shape must never appear
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert n_nodes(p, "BroadcastHashJoin") == 1
+    # the only ordered structure is the value-level prefix window
+    assert p.count("rangepartitioning") <= 1

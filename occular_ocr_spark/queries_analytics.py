@@ -619,7 +619,124 @@ WHERE levenshtein(sa.nm, sb.nm) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# assoc_rules — basket co-occurrence with support / confidence / lift
+# ---------------------------------------------------------------------------
+
+_AR_MIN_SUPPORT = 3  # a rule needs >= 3 supporting baskets
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over event baskets — the market-basket
+    classic (support / confidence / lift), with the basket defined as
+    one (user, day): which event types co-occur in a user's day, and
+    which co-occurrences beat independence (lift > 1)?
+
+    Distinct from ``bigram_pmi`` (sequence ADJACENCY over token
+    streams): this is SET co-occurrence under a blocking key, the
+    a-priori first pass.  Scale shape:
+
+    1. baskets reduce to distinct (user, day, event_type) — one
+       partial-agg pass, events never reappear;
+    2. pair candidates generate IN-ARRAY per basket (sorted
+       collect_set, then the ordered in-array pairing the dedup family
+       uses) — fan-out bounded by |event-type alphabet| choose 2 per
+       basket, never by basket count;
+    3. pair/single supports are partial-agg counts over an
+       alphabet-bounded key space; the basket total rides a 1-row
+       broadcast.  Confidence is emitted BOTH directions per unordered
+       pair (a->b and b->a share a support row).
+
+    All counts are exact integers; the two ratios round to 6 dp with
+    identical expression shape on both engines (always positive, so no
+    -0.0 surface).
+    """
+    e = (
+        _q._t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    n_baskets = (
+        e.select("user_id", "day").distinct().agg(F.count("*").alias("nb"))
+    )
+    singles = e.groupBy("event_type").agg(F.count("*").alias("c_single"))
+    basket_sets = e.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + F.lit(2), F.size("ts")),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
+    pairs = (
+        basket_sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi"))
+        .agg(F.count("*").alias("c_pair"))
+        .where(F.col("c_pair") >= _AR_MIN_SUPPORT)
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("hi").alias("lo"), F.col("lo").alias("hi"), "c_pair"
+        )
+    )
+    sa = singles.select(F.col("event_type").alias("lo"), F.col("c_single").alias("c_a"))
+    sb = singles.select(F.col("event_type").alias("hi"), F.col("c_single").alias("c_b"))
+    return (
+        both.join(F.broadcast(sa), "lo")
+        .join(F.broadcast(sb), "hi")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("lo").alias("ante"),
+            F.col("hi").alias("cons"),
+            F.col("c_pair").cast("bigint").alias("support"),
+            F.round(F.col("c_pair") / F.col("c_a"), 6).alias("confidence"),
+            F.round(
+                F.col("c_pair").cast("double")
+                * F.col("nb")
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_ASSOC_RULES = f"""
+WITH e AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+nb AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, day FROM e)),
+singles AS (SELECT event_type, count(*) AS c_single FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS lo, b.event_type AS hi, count(*) AS c_pair
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+  HAVING count(*) >= {_AR_MIN_SUPPORT}),
+bidir AS (
+  SELECT lo, hi, c_pair FROM pairs
+  UNION ALL
+  SELECT hi, lo, c_pair FROM pairs)
+SELECT p.lo AS ante, p.hi AS cons,
+       CAST(p.c_pair AS BIGINT) AS support,
+       round(CAST(p.c_pair AS DOUBLE) / sa.c_single, 6) AS confidence,
+       round(CAST(p.c_pair AS DOUBLE) * n.nb
+             / (CAST(sa.c_single AS DOUBLE) * sb.c_single), 6) AS lift
+FROM bidir p
+JOIN singles sa ON sa.event_type = p.lo
+JOIN singles sb ON sb.event_type = p.hi, nb n
+"""
+
+
 ANALYTICS_QUERIES = {
+    "assoc_rules": q_assoc_rules,
     "ts_gapfill": q_ts_gapfill,
     "mix_apply_sample": q_mix_apply_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -629,6 +746,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "assoc_rules": ORACLE_ASSOC_RULES,
     "ts_gapfill": ORACLE_TS_GAPFILL,
     "mix_apply_sample": ORACLE_MIX_APPLY_SAMPLE,
     "sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,

@@ -338,7 +338,66 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# sliding_mau — sliding-window distinct users via a day-spine range join
+# ---------------------------------------------------------------------------
+
+_MAU_WINDOW_D = 7
+
+
+def q_sliding_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day (``_MAU_WINDOW_D``) sliding distinct active users per type
+    — the rolling-MAU/WAU report every event warehouse serves.  The
+    naive DISTINCT inside a sliding window is not partial-aggregable;
+    the scale shape used here is the day-spine range join:
+
+    1. reduce events to distinct (event_type, day, user_id) — one
+       partial-agg pass, the corpus never appears again;
+    2. broadcast-join that day-level table to the distinct-day spine
+       with ``w - 7 < day <= w`` — fan-out bounded by the window
+       length (7x), never by data;
+    3. a two-level distinct count per (event_type, window end).
+
+    At 10^12 events the exact distinct can swap for the mergeable HLL
+    sketches of ``sketch_rollup`` (store per-day sketches, union 7 of
+    them per window) with the same join shape; the gate pins the exact
+    semantics.
+    """
+    e = (
+        _q._t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+        )
+        .distinct()
+    )
+    spine = e.select(F.col("day").alias("w")).distinct()
+    joined = e.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("w"))
+        & (F.col("day") > F.date_sub(F.col("w"), _MAU_WINDOW_D)),
+    )
+    return (
+        joined.groupBy("event_type", F.col("w").alias("win_end"))
+        .agg(F.countDistinct("user_id").cast("int").alias("mau"))
+    )
+
+
+ORACLE_SLIDING_MAU = f"""
+WITH e AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+spine AS (SELECT DISTINCT day AS w FROM e)
+SELECT e.event_type, s.w AS win_end,
+       CAST(count(DISTINCT e.user_id) AS INT) AS mau
+FROM e JOIN spine s
+  ON e.day <= s.w AND e.day > s.w - INTERVAL {_MAU_WINDOW_D} DAY
+GROUP BY e.event_type, s.w
+"""
+
+
 WAREHOUSE_QUERIES = {
+    "sliding_mau": q_sliding_mau,
     "merge_upsert": q_merge_upsert,
     "triangle_count": q_triangle_count,
     "sample_k_per_group": q_sample_k_per_group,
@@ -346,6 +405,7 @@ WAREHOUSE_QUERIES = {
 }
 
 WAREHOUSE_ORACLES = {
+    "sliding_mau": ORACLE_SLIDING_MAU,
     "merge_upsert": ORACLE_MERGE_UPSERT,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "sample_k_per_group": ORACLE_SAMPLE_K_PER_GROUP,

@@ -279,6 +279,12 @@ SHOWCASE = [
      "2D skyline without the O(n^2) dominance self-join: value-level "
      "max agg -> prefix-max window over value rows -> one broadcast "
      "join back"),
+    ("sliding_mau",
+     "sliding distinct via day-spine range join: distinct-reduce "
+     "first, broadcast spine, fan-out bounded by the window length"),
+    ("assoc_rules",
+     "market-basket rules: baskets distinct-reduce, pairs generate "
+     "in-array (alphabet-bounded), supports are partial-agg counts"),
 ]
 
 

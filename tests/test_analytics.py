@@ -253,3 +253,39 @@ def test_ann_recall_eval_matches_bruteforce_python(spark):
     }
     assert got == expected
     assert any(h > 0 for h in got.values()), "probed lists must hit"
+
+
+def test_assoc_rules_bruteforce_and_symmetry(spark):
+    from occular_ocr_spark.queries_analytics import _AR_MIN_SUPPORT, q_assoc_rules
+    import itertools
+
+    import pandas as pd
+
+    SF = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    baskets = ev.groupby(["user_id", "day"])["event_type"].apply(set)
+    nb = len(baskets)
+    from collections import Counter
+
+    singles: Counter = Counter()
+    pairs: Counter = Counter()
+    for s in baskets:
+        for t in s:
+            singles[t] += 1
+        for a, b in itertools.combinations(sorted(s), 2):
+            pairs[(a, b)] += 1
+    rows = q_assoc_rules(spark, SF).collect()
+    got = {(r["ante"], r["cons"]): r for r in rows}
+    want_pairs = {p: c for p, c in pairs.items() if c >= _AR_MIN_SUPPORT}
+    assert set(got) == {(a, b) for a, b in want_pairs} | {
+        (b, a) for a, b in want_pairs
+    }
+    for (a, b), c in want_pairs.items():
+        ra, rb = got[(a, b)], got[(b, a)]
+        assert ra["support"] == rb["support"] == c
+        assert ra["confidence"] == round(c / singles[a], 6)
+        assert rb["confidence"] == round(c / singles[b], 6)
+        # lift is symmetric
+        assert ra["lift"] == rb["lift"]
+        assert ra["lift"] == round(c * nb / (singles[a] * singles[b]), 6)

@@ -113,3 +113,39 @@ def test_sketch_rollup_merge_is_associative_and_bounded(spark):
         .collect()
     }
     assert {r["event_type"]: r["n_exact"] for r in rows} == exact
+
+
+def test_sliding_mau_bruteforce(spark):
+    from occular_ocr_spark.queries_warehouse import _MAU_WINDOW_D, q_sliding_mau
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    rows = q_sliding_mau(spark, SF).collect()
+    days = sorted(ev["day"].unique())
+    assert len(rows) == len(days) * ev["event_type"].nunique()
+    by_key = {(r["event_type"], r["win_end"]): r["mau"] for r in rows}
+    import datetime
+
+    for et in ev["event_type"].unique():
+        sub = ev[ev["event_type"] == et]
+        for w in days[:5] + days[-3:]:
+            lo = w - datetime.timedelta(days=_MAU_WINDOW_D - 1)
+            want = sub[(sub["day"] >= lo) & (sub["day"] <= w)]["user_id"].nunique()
+            assert by_key[(et, w)] == want
+
+
+def test_sliding_mau_is_windowed_not_cumulative(spark):
+    from occular_ocr_spark.queries_warehouse import q_sliding_mau
+
+    rows = q_sliding_mau(spark, SF).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append((r["win_end"], r["mau"]))
+    # a cumulative metric would be monotone; a sliding one falls when
+    # active users age out of the window — assert at least one decrease
+    decreases = 0
+    for et, pts in series.items():
+        pts.sort()
+        decreases += sum(1 for a, b in zip(pts, pts[1:]) if b[1] < a[1])
+    assert decreases > 0

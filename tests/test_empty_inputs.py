@@ -110,6 +110,14 @@ REPRESENTATIVE = [
     "loss_mask_spans",
     "tool_transitions",
     "conversation_dedup",
+    # round-4 waves 7-10
+    "line_dedup",
+    "compaction_plan",
+    "shard_interleave",
+    "epoch_shuffle",
+    "pareto_frontier",
+    "sliding_mau",
+    "assoc_rules",
 ]
 
 

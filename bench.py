@@ -237,12 +237,26 @@ def _wait_quiet_host() -> float:
     return _wait_quiet("catalog")
 
 
+def _cpu_jiffies() -> list:
+    """First /proc/stat line: cumulative jiffies per category
+    (user nice system idle iowait irq softirq steal ...)."""
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _steal_pct(a: list, b: list) -> float:
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total > 0 and len(d) > 7 else 0.0
+
+
 def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
     from occular_ocr_spark.queries import QUERIES, release_persists
 
     # shared host: quiet-gate first, then record the load actually seen
     # so a noisy recorded number is attributable (BENCH/BASELINE.md)
     load_start = _wait_quiet_host()
+    stat_start = _cpu_jiffies()
     warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     extraction_rows = 0
@@ -284,6 +298,12 @@ def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
         "sf": _sf_from_dir(sf_dir),
         "host_load_1m_start": round(load_start, 2),
         "host_load_1m_end": round(os.getloadavg()[0], 2),
+        # hypervisor steal over the whole run, % of total CPU time: the
+        # load average misses a noisy NEIGHBOR VM (this box's vCPUs are
+        # shared) — a quiet-launched run can still be uniformly 1.6-2x
+        # slow when steal runs 3-8% with frequency pressure behind it.
+        # Recording it turns "that run looks noisy" into data.
+        "host_steal_pct": _steal_pct(stat_start, _cpu_jiffies()),
     }
     if extraction_sec > 0:
         out["extraction_turns_per_sec"] = round(extraction_rows / extraction_sec, 1)
@@ -426,6 +446,7 @@ def main() -> int:
         "queries_file": "BENCH/bench_details.json",
         "host_load_1m_start": out["host_load_1m_start"],
         "host_load_1m_end": out["host_load_1m_end"],
+        "host_steal_pct": out.get("host_steal_pct"),
     }
     for k in ("extraction_turns_per_sec", "extraction_rows"):
         if k in out:

@@ -19,7 +19,6 @@ from typing import Callable, Dict
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import DoubleType
 
 from .functions.multimodal import FEATURE_DIM
 

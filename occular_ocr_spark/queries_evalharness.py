@@ -1,0 +1,363 @@
+"""Classifier/ranker evaluation harness ops — the metrics layer a
+100 TB curation pipeline runs over its own quality signals before
+trusting them to gate data:
+
+* ``auc_rank`` — distributed AUC (Mann-Whitney rank-sum with midrank
+  tie credit) of a score column predicting a label, computed from
+  per-score-value counts so the global ordering never materializes a
+  per-row rank;
+* ``calibration_curve`` — per-decile positive rate of the same
+  score/label pair (the reliability diagram behind every "is my
+  quality classifier calibrated?" check), reusing ``score_deciles``'
+  two-level distributed rank;
+* ``rbo_rankings`` — Rank-Biased Overlap (Webber et al., TOIS 2010)
+  between two per-document term rankings (TF-IDF vs raw TF), the
+  ranking-drift metric for comparing two retrieval/salience models
+  without a relevance-judged eval set.
+
+Same role as the reference's eval harness around its OCR quality
+scores (tests assert score distributions before thresholds are
+trusted, ocr_skel/tests/test_dbnet.py); here the harness itself is a
+catalog citizen with a DuckDB value-hash oracle.
+
+Cross-engine float doctrine (see queries_round4.q_hourly_profile):
+every division below is the integer half-up trick
+``(2·10^6·num + den) DIV (2·den) / 10^6`` — no float op until one
+final exact division by a power of ten — and the RBO depth weights
+``p^(d-1)/d`` are pre-rounded integer micro-units shared by BOTH
+engines as literals, so no libm ``pow`` is ever evaluated engine-side.
+
+Self-registers into queries.QUERIES / queries.ORACLES on import (same
+pattern as queries_ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# auc_rank — distributed AUC via per-score-value counts
+# ---------------------------------------------------------------------------
+
+_AUC_LABEL_LANG = "en"  # label: doc is English; score: n_chars
+
+
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of ``n_chars`` predicting ``lang = 'en'`` — the
+    Mann-Whitney U statistic with midrank tie credit:
+
+        AUC = Σ_s pos_s · (2·cumneg_below(s) + neg_s) / (2·P·N)
+
+    over per-score-VALUE counts (pos_s, neg_s) ordered by score.  The
+    midrank form means ties contribute exactly 1/2, matching the
+    probabilistic definition P(score_pos > score_neg) + ½·P(=).
+
+    Scale: the corpus collapses to one partial-agg groupBy(score)
+    FIRST; the only ordered structure is the prefix-sum window over
+    those ≤ #distinct-score rows (bounded by the score's value range —
+    the ``score_deciles`` frame, never a per-row global window).  The
+    final statistic is one more partial agg to a single row.
+
+    Determinism: numerator and denominator are exact BIGINT; the AUC
+    surface is the integer half-up division to 6 decimals (see module
+    docstring), with ``nullif`` guarding the empty/one-class corpus
+    (P·N = 0 → NULL on both engines, never a divide-by-zero under
+    ANSI).  Exactness holds while 2·10^6·Σ pos·(2·cumneg+neg) < 2^63,
+    i.e. P·N < ~2.3e12 — beyond that, compute AUC on a stratified
+    sample (the standard practice) or rescale the micro-unit.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("score"),
+        (F.col("lang") == _AUC_LABEL_LANG).cast("bigint").alias("y"),
+    )
+    vc = d.groupBy("score").agg(
+        F.sum("y").alias("pos"),
+        (F.count("*") - F.sum("y")).alias("neg"),
+    )
+    wv = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    pref = vc.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(wv), F.lit(0))
+    )
+    return (
+        pref.agg(
+            F.coalesce(F.sum("pos"), F.lit(0)).alias("n_pos"),
+            F.coalesce(F.sum("neg"), F.lit(0)).alias("n_neg"),
+            F.coalesce(
+                F.sum(F.col("pos") * (2 * F.col("cumneg") + F.col("neg"))),
+                F.lit(0),
+            ).alias("num"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                F.expr(
+                    "(2000000 * num + nullif(2 * n_pos * n_neg, 0))"
+                    " DIV nullif(4 * n_pos * n_neg, 0)"
+                )
+                / 1000000.0
+            ).alias("auc"),
+        )
+    )
+
+
+ORACLE_AUC_RANK = f"""
+WITH vc AS (
+  SELECT CAST(n_chars AS BIGINT) AS score,
+         sum(CASE WHEN lang = '{_AUC_LABEL_LANG}' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN lang = '{_AUC_LABEL_LANG}' THEN 0 ELSE 1 END) AS neg
+  FROM documents GROUP BY 1),
+pref AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM vc),
+tot AS (
+  SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg,
+         CAST(coalesce(sum(pos * (2 * cumneg + neg)), 0) AS BIGINT) AS num
+  FROM pref)
+SELECT n_pos, n_neg,
+       ((2000000 * num + nullif(2 * n_pos * n_neg, 0))
+        // nullif(4 * n_pos * n_neg, 0)) / 1000000.0 AS auc
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# calibration_curve — per-decile positive rate (reliability diagram)
+# ---------------------------------------------------------------------------
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the same score/label pair as
+    ``auc_rank``: global score deciles (the ``score_deciles``
+    two-level distributed rank — per-value counts, one prefix window
+    over the ≤ #distinct-values frame, parallel within-value
+    row_number) → per-decile n_docs / n_pos / positive rate.
+
+    AUC says the ranking separates; calibration says the SCORE VALUES
+    mean what a thresholding gate assumes.  A pipeline that drops the
+    bottom-k% by quality score reads exactly this table first.
+
+    Determinism: pos_rate is the integer half-up division to 6
+    decimals; decile boundaries use explicit floor() on both engines
+    (Spark truncates double→int casts, DuckDB rounds half-even).
+    """
+    t = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("score"),
+        (F.col("lang") == _AUC_LABEL_LANG).cast("bigint").alias("y"),
+    )
+    vcounts = t.groupBy("score").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = vcounts.select(
+        "score", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("p")
+    )
+    total = t.agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("score").orderBy("doc_id")
+    ranked = (
+        t.join(F.broadcast(prefix), "score")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "y",
+            F.floor(
+                (F.col("p") + F.row_number().over(wr) - 1) * 10 / F.col("n")
+            )
+            .cast("int")
+            .alias("decile"),
+        )
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(F.count("*").alias("n_docs"), F.sum("y").alias("n_pos"))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            (
+                F.expr("(2000000 * n_pos + n_docs) DIV (2 * n_docs)")
+                / 1000000.0
+            ).alias("pos_rate"),
+        )
+    )
+
+
+ORACLE_CALIBRATION_CURVE = f"""
+WITH ranked AS (
+  SELECT CASE WHEN lang = '{_AUC_LABEL_LANG}' THEN 1 ELSE 0 END AS y,
+         CAST(floor((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 10.0
+              / count(*) OVER ()) AS INT) AS decile
+  FROM documents),
+agg AS (
+  SELECT decile, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile)
+SELECT decile, n_docs, n_pos,
+       ((2000000 * n_pos + n_docs) // (2 * n_docs)) / 1000000.0 AS pos_rate
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# rbo_rankings — Rank-Biased Overlap between two term rankers
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_K = 10
+
+# W(m) = Σ_{d=m..K} p^(d-1)/d in integer nano-units (×10^9): the
+# contribution of a term whose WORSE rank across the two lists is m —
+# it sits in every depth-d prefix intersection for d ≥ m.  Pre-rounded
+# in Python once and inlined as literals into BOTH engines' CASE, so
+# neither engine evaluates pow() (module-docstring doctrine).  The 1e9
+# scale keeps the half-up numerator 2e6·wsum ≤ 2e6·Σ W ≈ 1.3e16 < 2^63
+# (a 1e12 scale would overflow BIGINT at perfect overlap — Spark wraps
+# silently, DuckDB raises); per-pair rounding error ≤ 0.5e-9 of a
+# unit-scale weight, invisible at the 6-decimal rbo surface.
+_RBO_W = {
+    m: int(round(sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_K + 1)) * 1e9))
+    for m in range(1, _RBO_K + 1)
+}
+# Identical lists hit weights W(1)..W(K) exactly once each, so this sum
+# is the normalizer that makes rbo(list, list) == 1.0 exactly.
+_RBO_IDENT = sum(_RBO_W.values())
+
+# Searched CASE with an explicit NULL guard: both engines' greatest()
+# SKIPS NULL arguments, so a bare CASE greatest(ra, rb) would assign a
+# weight to pairs missing from ranking B — the guard keeps them NULL.
+_RBO_CASE = (
+    "CASE WHEN rb IS NULL THEN CAST(NULL AS BIGINT) "
+    + " ".join(f"WHEN greatest(ra, rb) = {m} THEN {w}" for m, w in _RBO_W.items())
+    + " END"
+)
+
+
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap at depth K=10 (p=0.9) between each
+    document's TF-IDF term ranking and its raw-TF term ranking —
+    "how much does the idf term actually change what this model calls
+    salient?", the standard judgment-free ranking-comparison metric.
+
+    RBO@K = (1-p) Σ_{d=1..K} p^(d-1) · |A_1:d ∩ B_1:d| / d.  A term in
+    both top-K lists with worse-rank m = max(rank_A, rank_B) lies in
+    every prefix intersection at depth ≥ m, so it contributes
+    W(m) = Σ_{d=m..K} p^(d-1)/d — the per-PAIR weight.  RBO is then a
+    plain SUM over the rank-join, normalized so identical lists score
+    exactly 1.0.
+
+    Scale: one tokenize + groupBy(doc_id, tok) postings pass feeds
+    BOTH rankers (tf reused, df/N partial-agg rollups of it); each
+    ranker is a per-doc top-K window (never global); the comparison is
+    an equi-join on (doc_id, tok) between two ≤K-row-per-doc tables —
+    per-doc work is O(K), shuffles hash-partition on doc_id.  The
+    left join from ranker A keeps zero-overlap documents (rbo = 0)
+    total.
+
+    Determinism: both rankers order by a ROUNDED weight with token
+    tie-break (the ``tfidf_topk`` cut rule); W(m) weights are shared
+    integer micro-units summed in BIGINT; the single float op is the
+    final half-up division by the identical-lists normalizer.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_df = d.groupBy().agg(F.count("*").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    weighted = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "w_tfidf", F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6)
+        )
+    )
+    wa = Window.partitionBy("doc_id").orderBy(
+        F.col("w_tfidf").desc(), F.col("tok")
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("tok"))
+    rank_a = (
+        weighted.withColumn("ra", F.row_number().over(wa))
+        .where(F.col("ra") <= _RBO_K)
+        .select("doc_id", "tok", "ra")
+    )
+    rank_b = (
+        weighted.withColumn("rb", F.row_number().over(wb))
+        .where(F.col("rb") <= _RBO_K)
+        .select("doc_id", "tok", "rb")
+    )
+    joined = rank_a.join(rank_b, ["doc_id", "tok"], "left").withColumn(
+        "w", F.expr(_RBO_CASE)
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("w").alias("n_common"),
+            F.coalesce(F.sum("w"), F.lit(0)).alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.expr(
+                    f"(2000000 * wsum + {_RBO_IDENT}) DIV {2 * _RBO_IDENT}"
+                )
+                / 1000000.0
+            ).alias("rbo"),
+        )
+    )
+
+
+ORACLE_RBO_RANKINGS = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+weighted AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         round(tf.tf * n.n_docs / dfreq.df, 6) AS w_tfidf
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n),
+rank_a AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY w_tfidf DESC, tok) AS ra
+  FROM weighted QUALIFY ra <= {_RBO_K}),
+rank_b AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, tok) AS rb
+  FROM weighted QUALIFY rb <= {_RBO_K}),
+joined AS (
+  SELECT rank_a.doc_id, {_RBO_CASE} AS w
+  FROM rank_a LEFT JOIN rank_b
+    ON rank_a.doc_id = rank_b.doc_id AND rank_a.tok = rank_b.tok)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(w) AS BIGINT) AS n_common,
+       ((2000000 * CAST(coalesce(sum(w), 0) AS BIGINT) + {_RBO_IDENT})
+        // {2 * _RBO_IDENT}) / 1000000.0 AS rbo
+FROM joined GROUP BY doc_id
+"""
+
+
+EVALHARNESS_QUERIES = {
+    "auc_rank": q_auc_rank,
+    "calibration_curve": q_calibration_curve,
+    "rbo_rankings": q_rbo_rankings,
+}
+
+EVALHARNESS_ORACLES = {
+    "auc_rank": ORACLE_AUC_RANK,
+    "calibration_curve": ORACLE_CALIBRATION_CURVE,
+    "rbo_rankings": ORACLE_RBO_RANKINGS,
+}
+
+_q.QUERIES.update(EVALHARNESS_QUERIES)
+_q.ORACLES.update(EVALHARNESS_ORACLES)

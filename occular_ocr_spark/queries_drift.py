@@ -731,6 +731,217 @@ FROM cross_ GROUP BY 1, 2 HAVING sum(pairs) > 0
 
 
 # ---------------------------------------------------------------------------
+# chi_square_independence — lang × length-bucket contingency test
+# ---------------------------------------------------------------------------
+
+_CHI2_BUCKET_WIDTH = 800  # n_chars bucket width; DIV keeps it exact
+_CHI2_BUCKET_CAP = 4  # buckets 0..4 (top bucket open-ended)
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between ``lang`` and the
+    ``n_chars`` length bucket — "does document length depend on
+    language?", the first screen a corpus-mix report runs before
+    trusting per-language length thresholds.
+
+    χ² = Σ_cells (o−e)²/e with e = row_tot·col_tot/N, computed as the
+    integer-exact rational (o·N − rt·ct)² / (N·rt·ct) per cell.  The
+    full R×C grid (including zero-observed cells, which still
+    contribute e) is the cross join of the two level sets — bounded by
+    |langs|·|buckets|, a broadcast-sized frame.
+
+    Scale: three partial-agg rollups of ONE groupBy(lang, bucket) scan
+    (cell counts; row/col totals are rollups of the cells, never a
+    second corpus pass); the grid assembly is broadcast joins over the
+    R×C frame.  Determinism: numerator/denominator stay exact BIGINT
+    (both < 2^63 while N·rt·ct < 9.2e18 — past ~2e6 rows per level
+    rescale to sampled counts), the single IEEE division per cell is
+    rounded half-up to 6 decimals on both engines, and the cell
+    contributions sum as decimal(38,6) — exact and order-independent
+    (the ``corr_matrix`` doctrine).
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(
+            f"least(CAST(n_chars AS BIGINT) DIV {_CHI2_BUCKET_WIDTH},"
+            f" {_CHI2_BUCKET_CAP})"
+        ).alias("b"),
+    )
+    cells = d.groupBy("lang", "b").agg(F.count("*").alias("o"))
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("b").agg(F.sum("o").alias("ct"))
+    tot = cells.groupBy().agg(F.sum("o").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .join(cells, ["lang", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "b",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "rt",
+            "ct",
+            "n",
+        )
+    )
+    contrib = grid.select(
+        F.expr(
+            "CAST(round(CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)"
+            " / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(38,6))"
+        ).alias("cell"),
+        F.lit(1).alias("one"),
+    )
+    n_levels = grid.agg(
+        F.countDistinct("lang").alias("r_levels"),
+        F.countDistinct("b").alias("c_levels"),
+    )
+    return (
+        contrib.agg(
+            F.count("*").alias("n_cells"),
+            F.sum("cell").cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_levels))
+        .select(
+            F.col("r_levels").cast("bigint").alias("r_levels"),
+            F.col("c_levels").cast("bigint").alias("c_levels"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+        )
+    )
+
+
+ORACLE_CHI_SQUARE_INDEPENDENCE = f"""
+WITH d AS (
+  SELECT lang,
+         least(CAST(n_chars AS BIGINT) // {_CHI2_BUCKET_WIDTH},
+               {_CHI2_BUCKET_CAP}) AS b
+  FROM documents),
+cells AS (SELECT lang, b, count(*) AS o FROM d GROUP BY lang, b),
+rows_ AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY lang),
+cols_ AS (SELECT b, sum(o) AS ct FROM cells GROUP BY b),
+tot AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT rows_.lang, cols_.b, CAST(coalesce(cells.o, 0) AS BIGINT) AS o,
+         CAST(rt AS BIGINT) AS rt, CAST(ct AS BIGINT) AS ct,
+         CAST(n AS BIGINT) AS n
+  FROM rows_ CROSS JOIN cols_
+  LEFT JOIN cells ON cells.lang = rows_.lang AND cells.b = cols_.b, tot),
+contrib AS (
+  SELECT CAST(round(CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+              / CAST(n * rt * ct AS DOUBLE), 6) AS DECIMAL(38,6)) AS cell
+  FROM grid),
+lv AS (SELECT count(DISTINCT lang) AS r_levels, count(DISTINCT b) AS c_levels
+       FROM grid)
+SELECT CAST(r_levels AS BIGINT) AS r_levels,
+       CAST(c_levels AS BIGINT) AS c_levels,
+       CAST((SELECT count(*) FROM contrib) AS BIGINT) AS n_cells,
+       CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+       CAST((SELECT sum(cell) FROM contrib) AS DOUBLE) AS chi2
+FROM lv
+"""
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest — two-sample Welch's t on exact integer moment sums
+# ---------------------------------------------------------------------------
+
+_WELCH_LANG = "en"  # group A: English docs; group B: everything else
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of ``n_chars`` between English
+    and non-English documents — "are these two corpus slices actually
+    different?", the significance check behind every per-slice stat a
+    dataset card reports.
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    Scale: ONE conditional partial-agg scan collects the six moment
+    sums (n, Σx, Σx² per group) — the ``corr_matrix`` doctrine: exact
+    decimal(38,0) integer sums, so the statistic is pure IEEE
+    arithmetic on a single row of exact integers with no float
+    summation order anywhere.  Determinism: both engines evaluate the
+    IDENTICAL expression tree on identical doubles (every moment
+    < 2^53 at any realistic corpus, so the decimal→double cast is
+    exact); sqrt is IEEE-correctly-rounded on both; surfaces round
+    half-up to 6.  Degenerate groups (n < 2) yield NULL via nullif.
+    """
+    x = F.col("n_chars").cast("decimal(38,0)")
+    is_a = F.col("lang") == _WELCH_LANG
+    d = _t(spark, sf_dir, "documents").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, x).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("s_a"),
+        F.sum(F.when(~is_a, x).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("s_b"),
+        F.sum(F.when(is_a, x * x).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss_a"),
+        F.sum(F.when(~is_a, x * x).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss_b"),
+    )
+    # va_n / vb_n = sample-variance/n per group — the two doubles every
+    # downstream term reuses, so both engines build the SAME tree
+    # (no libm pow anywhere: squares are explicit products).
+    mid = d.selectExpr(
+        "n_a",
+        "n_b",
+        "CAST(s_a AS DOUBLE) / n_a AS mean_a",
+        "CAST(s_b AS DOUBLE) / n_b AS mean_b",
+        "(CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)"
+        " / nullif(n_a - 1, 0) / n_a AS va_n",
+        "(CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)"
+        " / nullif(n_b - 1, 0) / n_b AS vb_n",
+    )
+    return mid.selectExpr(
+        "n_a",
+        "n_b",
+        "round(mean_a, 6) AS mean_a",
+        "round(mean_b, 6) AS mean_b",
+        "round((mean_a - mean_b) / sqrt(va_n + vb_n), 6) AS t_stat",
+        "round((va_n + vb_n) * (va_n + vb_n)"
+        " / (va_n * va_n / nullif(n_a - 1, 0)"
+        "  + vb_n * vb_n / nullif(n_b - 1, 0)), 6) AS welch_df",
+    )
+
+
+ORACLE_WELCH_TTEST = f"""
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN lang = '{_WELCH_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN lang <> '{_WELCH_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN lang = '{_WELCH_LANG}'
+                  THEN CAST(n_chars AS DECIMAL(38,0)) ELSE 0 END) AS s_a,
+         sum(CASE WHEN lang <> '{_WELCH_LANG}'
+                  THEN CAST(n_chars AS DECIMAL(38,0)) ELSE 0 END) AS s_b,
+         sum(CASE WHEN lang = '{_WELCH_LANG}'
+                  THEN CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))
+                  ELSE 0 END) AS ss_a,
+         sum(CASE WHEN lang <> '{_WELCH_LANG}'
+                  THEN CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))
+                  ELSE 0 END) AS ss_b
+  FROM documents),
+mid AS (
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / n_a AS mean_a,
+         CAST(s_b AS DOUBLE) / n_b AS mean_b,
+         (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+           / nullif(n_a - 1, 0) / n_a AS va_n,
+         (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+           / nullif(n_b - 1, 0) / n_b AS vb_n
+  FROM m)
+SELECT n_a, n_b,
+       round(mean_a, 6) AS mean_a,
+       round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(va_n + vb_n), 6) AS t_stat,
+       round((va_n + vb_n) * (va_n + vb_n)
+             / (va_n * va_n / nullif(n_a - 1, 0)
+              + vb_n * vb_n / nullif(n_b - 1, 0)), 6) AS welch_df
+FROM mid
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -743,6 +954,8 @@ DRIFT_QUERIES = {
     "zscore_outliers": q_zscore_outliers,
     "dataset_card_stats": q_dataset_card_stats,
     "cross_dedup_sources": q_cross_dedup_sources,
+    "chi_square_independence": q_chi_square_independence,
+    "welch_ttest": q_welch_ttest,
 }
 
 DRIFT_ORACLES = {
@@ -754,6 +967,8 @@ DRIFT_ORACLES = {
     "zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
     "dataset_card_stats": ORACLE_DATASET_CARD_STATS,
     "cross_dedup_sources": ORACLE_CROSS_DEDUP_SOURCES,
+    "chi_square_independence": ORACLE_CHI_SQUARE_INDEPENDENCE,
+    "welch_ttest": ORACLE_WELCH_TTEST,
 }
 
 _q.QUERIES.update(DRIFT_QUERIES)

@@ -13,7 +13,11 @@ trusting them to gate data:
 * ``rbo_rankings`` — Rank-Biased Overlap (Webber et al., TOIS 2010)
   between two per-document term rankings (TF-IDF vs raw TF), the
   ranking-drift metric for comparing two retrieval/salience models
-  without a relevance-judged eval set.
+  without a relevance-judged eval set;
+* ``ndcg_eval`` — nDCG@K / precision@K / recall@K of the BM25 ranker
+  (``bm25_topk``'s exact scoring formula) against tf-threshold
+  relevance labels, per query term — the retrieval-quality harness
+  run before an index is trusted to mine training data.
 
 Same role as the reference's eval harness around its OCR quality
 scores (tests assert score distributions before thresholds are
@@ -347,16 +351,209 @@ FROM joined GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ndcg_eval — nDCG@K / P@K / R@K of the BM25 ranker vs tf-threshold labels
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402  (stdlib, used only at import time for weight tables)
+
+_NDCG_K = 10
+_NDCG_Q = 8  # queries = the Q highest-df tokens (bm25_topk's selection rule)
+_NDCG_REL_TF = 2  # relevant iff tf(d, t) >= this AND lang = _NDCG_REL_LANG
+_NDCG_REL_LANG = "en"  # judgments only cover the English slice
+_NDCG_K1 = 1.2  # Okapi constants shared with queries_retrieval.q_bm25_topk
+_NDCG_B = 0.75
+
+# Gain discounts 10^9/log2(r+1) in integer nano-units, pre-rounded in
+# Python and inlined into BOTH engines (the _RBO_W doctrine: no libm
+# log engine-side in the DCG sum).  _NDCG_IDEAL[m] = prefix sum = the
+# ideal DCG when min(K, n_rel) = m ranked docs can be relevant.
+_NDCG_W = {r: int(round(1e9 / math.log2(r + 1))) for r in range(1, _NDCG_K + 1)}
+_NDCG_IDEAL = {
+    m: sum(_NDCG_W[r] for r in range(1, m + 1)) for m in range(1, _NDCG_K + 1)
+}
+
+_NDCG_GAIN_CASE = (
+    "CASE WHEN rel = 0 THEN 0 "
+    + " ".join(f"WHEN rnk = {r} THEN {w}" for r, w in _NDCG_W.items())
+    + " END"
+)
+_NDCG_IDCG_CASE = (
+    f"CASE WHEN n_rel >= {_NDCG_K} THEN {_NDCG_IDEAL[_NDCG_K]} "
+    + " ".join(
+        f"WHEN n_rel = {m} THEN {w}" for m, w in list(_NDCG_IDEAL.items())[:-1]
+    )
+    + " ELSE 0 END"
+)
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality harness: for each of the _NDCG_Q highest-df
+    query terms, rank documents with the exact BM25 formula of
+    ``bm25_topk`` (idf · tf-saturation · length-norm, rank by the
+    ROUNDED score with doc_id tie-break) and grade the top-K against
+    language-conditioned relevance labels (rel ⇔ tf ≥ _NDCG_REL_TF AND
+    lang = _NDCG_REL_LANG — "the judgment pool only covers English"):
+
+    * ndcg      — Σ rel_r · w_r / IDCG with w_r = 1/log2(r+1) and
+                  IDCG = Σ_{{r≤min(K, n_rel)}} w_r (binary-gain ideal);
+    * p_at_k    — retrieved-relevant / K;
+    * recall_at_k — retrieved-relevant / n_rel.
+
+    The ranker is language-blind, so non-English high-tf docs outrank
+    relevant ones — the harness grades real mistakes (ndcg < 1), which
+    is exactly the situation a mined-data eval exists to expose.
+
+    Scale: one postings pass feeds ranker AND labels (n_rel is a
+    partial-agg rollup); scoring touches only query-term postings
+    (broadcast Q-row term list — index-pruned exactly like bm25_topk);
+    the ranking window partitions per TERM (≤ Q frames, never global);
+    gains and ideal-DCG are integer CASE lookups, so the whole grade is
+    one more partial agg.  All three metric surfaces are the module's
+    integer half-up division; n_rel = 0 yields NULL ndcg/recall via
+    nullif on both engines.
+    """
+    postings = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = dfc.orderBy(F.col("df").desc(), "tok").limit(_NDCG_Q)
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = doclen.groupBy().agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("nd")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (_NDCG_K1 + 1) / (
+        F.col("tf")
+        + _NDCG_K1 * (1 - _NDCG_B + _NDCG_B * F.col("dl") / F.col("avgdl"))
+    )
+    lang_tbl = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(doclen, "doc_id")
+        .join(lang_tbl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "doc_id",
+            F.round(idf * norm, 4).alias("score"),
+            (
+                (F.col("tf") >= _NDCG_REL_TF)
+                & (F.col("lang") == _NDCG_REL_LANG)
+            )
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("score").desc(), "doc_id")
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _NDCG_K)
+        .groupBy("tok")
+        .agg(
+            F.coalesce(F.sum(F.expr(_NDCG_GAIN_CASE)), F.lit(0)).alias("dcg"),
+            F.sum("rel").alias("n_ret_rel"),
+        )
+    )
+    # the label rollup reuses the pruned+scored lineage — no second
+    # corpus pass and no second join
+    nrel = scored.groupBy("tok").agg(F.sum("rel").alias("n_rel"))
+    graded = topk.join(nrel, "tok", "left").withColumn(
+        "n_rel", F.coalesce("n_rel", F.lit(0))
+    )
+    return graded.select(
+        "tok",
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        F.col("n_ret_rel").cast("bigint").alias("n_ret_rel"),
+        (
+            F.expr(
+                f"(2000000 * dcg + nullif({_NDCG_IDCG_CASE}, 0))"
+                f" DIV nullif(2 * ({_NDCG_IDCG_CASE}), 0)"
+            )
+            / 1000000.0
+        ).alias("ndcg"),
+        (
+            F.expr(f"(2000000 * n_ret_rel + {_NDCG_K}) DIV {2 * _NDCG_K}")
+            / 1000000.0
+        ).alias("p_at_k"),
+        (
+            F.expr(
+                "(2000000 * n_ret_rel + nullif(n_rel, 0))"
+                " DIV nullif(2 * n_rel, 0)"
+            )
+            / 1000000.0
+        ).alias("recall_at_k"),
+    )
+
+
+ORACLE_NDCG_EVAL = f"""
+WITH postings AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+q AS (SELECT tok, df FROM dfs ORDER BY df DESC, tok LIMIT {_NDCG_Q}),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+tot AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+scored AS (
+  SELECT p.tok, p.doc_id,
+         round(ln(1 + (tot.nd - q.df + 0.5) / (q.df + 0.5))
+               * p.tf * ({_NDCG_K1} + 1)
+               / (p.tf + {_NDCG_K1} * (1 - {_NDCG_B}
+                                       + {_NDCG_B} * dl.dl / tot.avgdl)),
+               4) AS score,
+         CASE WHEN p.tf >= {_NDCG_REL_TF} AND d.lang = '{_NDCG_REL_LANG}'
+              THEN 1 ELSE 0 END AS rel
+  FROM postings p JOIN q USING (tok) JOIN dl USING (doc_id)
+  JOIN documents d ON p.doc_id = d.doc_id, tot),
+topk AS (
+  SELECT tok,
+         CAST(coalesce(sum({_NDCG_GAIN_CASE}), 0) AS BIGINT) AS dcg,
+         CAST(sum(rel) AS BIGINT) AS n_ret_rel
+  FROM (SELECT *, row_number() OVER (PARTITION BY tok
+                                     ORDER BY score DESC, doc_id) AS rnk
+        FROM scored) s
+  WHERE rnk <= {_NDCG_K} GROUP BY tok),
+nrel AS (SELECT tok, CAST(sum(rel) AS BIGINT) AS n_rel FROM scored GROUP BY tok)
+SELECT topk.tok,
+       CAST(coalesce(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+       n_ret_rel,
+       ((2000000 * dcg + nullif(CASE
+           WHEN coalesce(nrel.n_rel, 0) >= {_NDCG_K} THEN {_NDCG_IDEAL[_NDCG_K]}
+           {" ".join(f"WHEN coalesce(nrel.n_rel, 0) = {m} THEN {w}"
+                     for m, w in list(_NDCG_IDEAL.items())[:-1])}
+           ELSE 0 END, 0))
+        // nullif(2 * (CASE
+           WHEN coalesce(nrel.n_rel, 0) >= {_NDCG_K} THEN {_NDCG_IDEAL[_NDCG_K]}
+           {" ".join(f"WHEN coalesce(nrel.n_rel, 0) = {m} THEN {w}"
+                     for m, w in list(_NDCG_IDEAL.items())[:-1])}
+           ELSE 0 END), 0)) / 1000000.0 AS ndcg,
+       ((2000000 * n_ret_rel + {_NDCG_K}) // {2 * _NDCG_K}) / 1000000.0
+         AS p_at_k,
+       ((2000000 * n_ret_rel + nullif(coalesce(nrel.n_rel, 0), 0))
+        // nullif(2 * coalesce(nrel.n_rel, 0), 0)) / 1000000.0 AS recall_at_k
+FROM topk LEFT JOIN nrel USING (tok)
+"""
+
+
 EVALHARNESS_QUERIES = {
     "auc_rank": q_auc_rank,
     "calibration_curve": q_calibration_curve,
     "rbo_rankings": q_rbo_rankings,
+    "ndcg_eval": q_ndcg_eval,
 }
 
 EVALHARNESS_ORACLES = {
     "auc_rank": ORACLE_AUC_RANK,
     "calibration_curve": ORACLE_CALIBRATION_CURVE,
     "rbo_rankings": ORACLE_RBO_RANKINGS,
+    "ndcg_eval": ORACLE_NDCG_EVAL,
 }
 
 _q.QUERIES.update(EVALHARNESS_QUERIES)

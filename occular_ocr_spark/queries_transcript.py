@@ -610,6 +610,69 @@ FROM runs GROUP BY conv_id, run_id, role
 """
 
 
+# ---------------------------------------------------------------------------
+# agent_loop_detect — same-tool re-invocation profile per conversation
+# ---------------------------------------------------------------------------
+
+_ALD_LOOP_GAP = 7  # a revisit within <= this many turns counts as loopy
+
+
+def q_agent_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool re-invocation profile per (conversation, tool): how often an
+    agent calls the same tool again, and how tightly — the
+    loop-detection signal an agent-transcript curation pass gates on
+    (an assistant stuck re-running ``search`` every few turns is
+    low-quality training data the way repeated n-grams are in plain
+    text, cf. ``repetition_ratio``).
+
+    For every (conv_id, tool) with >= 1 call: call count, first/last
+    turn, the MINIMUM turn gap between consecutive calls of that tool
+    (NULL when called once), and ``is_loopy`` — a revisit within
+    _ALD_LOOP_GAP turns.
+
+    Scale: the gap is a lag window partitioned by (conv_id, tool) and
+    ordered by turn_idx — bounded per-conversation frames,
+    hash-partitioned on the same conv_id key every transcript op
+    shuffles on (one exchange serves the whole family); the profile is
+    one partial-agg groupBy of those frames.  No global window, no
+    self-join.
+    """
+    t = _turns(spark, sf_dir).where(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    gapped = t.select(
+        "conv_id",
+        "tool",
+        "turn_idx",
+        (F.col("turn_idx") - F.lag("turn_idx").over(w)).alias("gap"),
+    )
+    return gapped.groupBy("conv_id", "tool").agg(
+        F.count("*").cast("bigint").alias("n_calls"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.max("turn_idx").cast("int").alias("last_turn"),
+        F.min("gap").cast("int").alias("min_gap"),
+        F.coalesce(F.min("gap") <= _ALD_LOOP_GAP, F.lit(False)).alias(
+            "is_loopy"
+        ),
+    )
+
+
+ORACLE_AGENT_LOOP_DETECT = f"""
+WITH t AS ({_ORACLE_TURNS_TOOL}),
+gapped AS (
+  SELECT conv_id, tool, turn_idx,
+         turn_idx - lag(turn_idx) OVER (PARTITION BY conv_id, tool
+                                        ORDER BY turn_idx) AS gap
+  FROM t WHERE tool IS NOT NULL)
+SELECT conv_id, tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(min(turn_idx) AS INT) AS first_turn,
+       CAST(max(turn_idx) AS INT) AS last_turn,
+       CAST(min(gap) AS INT) AS min_gap,
+       coalesce(min(gap) <= {_ALD_LOOP_GAP}, FALSE) AS is_loopy
+FROM gapped GROUP BY conv_id, tool
+"""
+
+
 TRANSCRIPT_QUERIES = {
     "merge_adjacent_turns": q_merge_adjacent_turns,
     "turn_structure_qa": q_turn_structure_qa,
@@ -619,6 +682,7 @@ TRANSCRIPT_QUERIES = {
     "loss_mask_spans": q_loss_mask_spans,
     "tool_transitions": q_tool_transitions,
     "conversation_dedup": q_conversation_dedup,
+    "agent_loop_detect": q_agent_loop_detect,
 }
 
 TRANSCRIPT_ORACLES = {
@@ -630,6 +694,7 @@ TRANSCRIPT_ORACLES = {
     "loss_mask_spans": ORACLE_LOSS_MASK_SPANS,
     "tool_transitions": ORACLE_TOOL_TRANSITIONS,
     "conversation_dedup": ORACLE_CONVERSATION_DEDUP,
+    "agent_loop_detect": ORACLE_AGENT_LOOP_DETECT,
 }
 
 _q.QUERIES.update(TRANSCRIPT_QUERIES)

@@ -1,0 +1,226 @@
+"""Semantics tests for the wave-11 entries: ndcg_eval (retrieval
+grading), chi_square_independence / welch_ttest (statistical QA), and
+agent_loop_detect (transcript tool-revisit profile).  The DuckDB
+value-hash gate is scripts/check_queries.py; these pin each op against
+an independent single-node recomputation plus the plan shapes."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from occular_ocr_spark.queries import _t
+from occular_ocr_spark.queries_drift import (
+    _CHI2_BUCKET_CAP,
+    _CHI2_BUCKET_WIDTH,
+    _WELCH_LANG,
+    q_chi_square_independence,
+    q_welch_ttest,
+)
+from occular_ocr_spark.queries_evalharness import (
+    _NDCG_IDEAL,
+    _NDCG_K,
+    _NDCG_Q,
+    _NDCG_REL_LANG,
+    _NDCG_REL_TF,
+    _NDCG_W,
+    q_ndcg_eval,
+)
+from occular_ocr_spark.queries_transcript import (
+    _ALD_LOOP_GAP,
+    _turns,
+    q_agent_loop_detect,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ndcg_eval
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_weight_tables(spark):
+    for r in range(1, _NDCG_K + 1):
+        assert abs(_NDCG_W[r] - 1e9 / math.log2(r + 1)) <= 0.5
+    for m in range(1, _NDCG_K + 1):
+        assert _NDCG_IDEAL[m] == sum(_NDCG_W[r] for r in range(1, m + 1))
+
+
+def test_ndcg_eval_metric_consistency(spark):
+    rows = q_ndcg_eval(spark, SF).collect()
+    assert len(rows) == _NDCG_Q
+    for r in rows:
+        assert 0 <= r["n_ret_rel"] <= min(_NDCG_K, r["n_rel"])
+        assert abs(r["p_at_k"] - r["n_ret_rel"] / _NDCG_K) <= 5e-7
+        if r["n_rel"] == 0:
+            assert r["ndcg"] is None and r["recall_at_k"] is None
+        else:
+            assert 0.0 <= r["ndcg"] <= 1.0
+            assert abs(r["recall_at_k"] - r["n_ret_rel"] / r["n_rel"]) <= 5e-7
+            # perfect precision at full-K relevance forces ndcg = 1
+            if r["n_ret_rel"] == _NDCG_K and r["n_rel"] >= _NDCG_K:
+                assert r["ndcg"] == 1.0
+    # on real data the ranker makes mistakes: not every query is perfect
+    assert any(r["ndcg"] is not None and r["ndcg"] < 1.0 for r in rows)
+
+
+def test_ndcg_eval_matches_naive_recompute(spark):
+    # rebuild one query's grade from raw postings on the driver
+    docs = _t(spark, SF, "documents").collect()
+    lang = {d["doc_id"]: d["lang"] for d in docs}
+    postings = {}
+    for d in docs:
+        for tok in (d["text"] or "").split(" "):
+            if tok:
+                postings.setdefault(tok, {}).setdefault(d["doc_id"], 0)
+                postings[tok][d["doc_id"]] += 1
+    dfs = {t: len(m) for t, m in postings.items()}
+    qtok = sorted(dfs, key=lambda t: (-dfs[t], t))[0]
+    dl = {}
+    for t, m in postings.items():
+        for did, tf in m.items():
+            dl[did] = dl.get(did, 0) + tf
+    avgdl = sum(dl.values()) / len(dl)
+    nd = len(dl)
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (nd - dfs[qtok] + 0.5) / (dfs[qtok] + 0.5))
+    scored = sorted(
+        (
+            (
+                -round(
+                    idf
+                    * tf
+                    * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * dl[did] / avgdl)),
+                    4,
+                ),
+                did,
+                tf,
+            )
+            for did, tf in postings[qtok].items()
+        )
+    )
+    topk = scored[:_NDCG_K]
+    dcg = sum(
+        _NDCG_W[r + 1]
+        for r, (_, did, tf) in enumerate(topk)
+        if tf >= _NDCG_REL_TF and lang[did] == _NDCG_REL_LANG
+    )
+    n_rel = sum(
+        1
+        for did, tf in postings[qtok].items()
+        if tf >= _NDCG_REL_TF and lang[did] == _NDCG_REL_LANG
+    )
+    idcg = _NDCG_IDEAL[min(_NDCG_K, n_rel)] if n_rel else 0
+    expect = ((2_000_000 * dcg + idcg) // (2 * idcg)) / 1e6 if idcg else None
+    got = {r["tok"]: r for r in q_ndcg_eval(spark, SF).collect()}[qtok]
+    assert got["n_rel"] == n_rel
+    assert got["ndcg"] == expect
+
+
+# ---------------------------------------------------------------------------
+# chi_square_independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_matches_naive(spark):
+    docs = _t(spark, SF, "documents").collect()
+    cells = {}
+    for d in docs:
+        key = (d["lang"], min(d["n_chars"] // _CHI2_BUCKET_WIDTH, _CHI2_BUCKET_CAP))
+        cells[key] = cells.get(key, 0) + 1
+    langs = sorted({k[0] for k in cells})
+    buckets = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    rt = {l: sum(v for k, v in cells.items() if k[0] == l) for l in langs}
+    ct = {b: sum(v for k, v in cells.items() if k[1] == b) for b in buckets}
+    chi2 = sum(
+        round(
+            ((cells.get((l, b), 0) * n - rt[l] * ct[b]) ** 2)
+            / (n * rt[l] * ct[b]),
+            6,
+        )
+        for l in langs
+        for b in buckets
+    )
+    r = q_chi_square_independence(spark, SF).collect()[0]
+    assert r["r_levels"] == len(langs) and r["c_levels"] == len(buckets)
+    assert r["n_cells"] == len(langs) * len(buckets)
+    assert r["dof"] == (len(langs) - 1) * (len(buckets) - 1)
+    assert abs(r["chi2"] - chi2) <= 1e-6
+    assert r["chi2"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_matches_naive(spark):
+    docs = _t(spark, SF, "documents").collect()
+    a = [d["n_chars"] for d in docs if d["lang"] == _WELCH_LANG]
+    bb = [d["n_chars"] for d in docs if d["lang"] != _WELCH_LANG]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    va_n, vb_n = var(a) / len(a), var(bb) / len(bb)
+    t = (sum(a) / len(a) - sum(bb) / len(bb)) / math.sqrt(va_n + vb_n)
+    df = (va_n + vb_n) ** 2 / (
+        va_n**2 / (len(a) - 1) + vb_n**2 / (len(bb) - 1)
+    )
+    r = q_welch_ttest(spark, SF).collect()[0]
+    assert r["n_a"] == len(a) and r["n_b"] == len(bb)
+    assert abs(r["t_stat"] - t) <= 1e-4
+    assert abs(r["welch_df"] - df) <= max(1e-3, df * 1e-6)
+    # Welch df is bounded by the two-sample df range
+    assert min(len(a), len(bb)) - 1 <= r["welch_df"] <= len(a) + len(bb) - 2
+
+
+def test_stats_single_pass_plans(spark):
+    # both statistics are one partial-agg scan: no more than one
+    # Exchange should carry row-scaled data (welch: exactly one scan)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_welch_ttest(spark, SF).explain("formatted")
+    p = buf.getvalue()
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE)) == 1
+
+
+# ---------------------------------------------------------------------------
+# agent_loop_detect
+# ---------------------------------------------------------------------------
+
+
+def test_agent_loop_detect_matches_naive(spark):
+    turns = _turns(spark, SF).where(F.col("tool").isNotNull()).collect()
+    calls = {}
+    for t in turns:
+        calls.setdefault((t["conv_id"], t["tool"]), []).append(t["turn_idx"])
+    out = {
+        (r["conv_id"], r["tool"]): r
+        for r in q_agent_loop_detect(spark, SF).collect()
+    }
+    assert set(out) == set(calls)
+    for key, idxs in calls.items():
+        idxs.sort()
+        r = out[key]
+        assert r["n_calls"] == len(idxs)
+        assert r["first_turn"] == idxs[0] and r["last_turn"] == idxs[-1]
+        if len(idxs) == 1:
+            assert r["min_gap"] is None and r["is_loopy"] is False
+        else:
+            gap = min(b - a for a, b in zip(idxs, idxs[1:]))
+            assert r["min_gap"] == gap
+            assert r["is_loopy"] == (gap <= _ALD_LOOP_GAP)
+    # the fixture synthesis produces both loopy and single-call profiles
+    assert any(r["is_loopy"] for r in out.values())
+    assert any(not r["is_loopy"] for r in out.values())

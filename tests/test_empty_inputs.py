@@ -118,6 +118,14 @@ REPRESENTATIVE = [
     "pareto_frontier",
     "sliding_mau",
     "assoc_rules",
+    # round-4 wave 11 (auc_rank / chi_square_independence / welch_ttest
+    # are excluded like quality_funnel: global aggregates return their
+    # single stat row with NULL surfaces on empty input — pinned by
+    # test_stat_entries_null_row_on_empty below)
+    "calibration_curve",
+    "rbo_rankings",
+    "ndcg_eval",
+    "agent_loop_detect",
 ]
 
 
@@ -134,3 +142,18 @@ def test_entry_is_total_on_empty_tables(spark, empty_sf_dir, name):
     from occular_ocr_spark.queries import QUERIES
 
     assert QUERIES[name](spark, empty_sf_dir).count() == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["auc_rank", "chi_square_independence", "welch_ttest"]
+)
+def test_stat_entries_null_row_on_empty(spark, empty_sf_dir, name):
+    # global-aggregate statistics return their single row with NULL
+    # float surfaces (nullif guards) instead of raising on empty input
+    from occular_ocr_spark.queries import QUERIES
+
+    rows = QUERIES[name](spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    surface = {"auc_rank": "auc", "chi_square_independence": "chi2",
+               "welch_ttest": "t_stat"}[name]
+    assert rows[0][surface] is None

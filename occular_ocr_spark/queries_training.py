@@ -256,6 +256,179 @@ FROM keyed
 
 
 # ---------------------------------------------------------------------------
+# bradley_terry — pairwise-preference strength fit over sources
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 2  # unrolled MM iterations (pagerank_bipartite doctrine)
+
+
+def _bt_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic match synthesis: adjacent doc_ids from different
+    sources play one match; the longer document (n_chars, tie -> lower
+    doc_id) wins.  The adjacent-pair join is an equi-join on doc_id+1
+    (narrow, co-partitioned after one hash exchange), mirroring the
+    cdc_chunks house pattern for synthetic pairings."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a = d.alias("a")
+    b = d.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+    ).alias("b")
+    m = a.join(b, F.col("a.doc_id") == F.col("b.join_id")).where(
+        F.col("a.source") != F.col("src_b")
+    )
+    win_a = (F.col("a.n_chars") > F.col("nc_b")) | (
+        F.col("a.n_chars") == F.col("nc_b")
+    )  # tie -> the lower doc_id (the left row) wins
+    return m.select(
+        F.when(win_a, F.col("a.source")).otherwise(F.col("src_b")).alias("w"),
+        F.when(win_a, F.col("src_b")).otherwise(F.col("a.source")).alias("l"),
+    )
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings over sources from pairwise
+    "which document wins" matches — the model behind ranking data
+    sources (or annotators, or model checkpoints) from preference
+    pairs when no absolute score exists.
+
+    MM fit (Hunter 2004, minorization-maximization):
+
+        p_i <- W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+
+    with p = 1 init and _BT_ITERS unrolled iterations.
+
+    Scale: the corpus-sized work is ONE adjacent-pair equi-join +
+    ONE partial-agg groupBy to the S×S win matrix; every MM iteration
+    then runs on the ≤ S² pair frame (broadcast joins, partial aggs) —
+    iteration cost is independent of corpus size, the kmeans_lloyd /
+    pagerank shape.
+
+    Determinism: win counts are exact BIGINT; each iteration's
+    per-pair term n_ij/(p_i+p_j) is half-up quantized to integer
+    nano-units BEFORE the per-source sum (so group accumulation order
+    cannot differ between engines), and ratings are float32-quantized
+    between iterations (the kmeans_lloyd doctrine, CAST REAL in the
+    oracle).  A source with no matches never enters the win matrix (no
+    output row); a zero denominator yields NULL rating via nullif.
+    """
+    wins = _bt_matches(spark, sf_dir).groupBy("w", "l").agg(
+        F.count("*").cast("bigint").alias("n_w")
+    )
+    # symmetric match counts n_ij (i -> j, both orientations) and
+    # per-source total wins
+    sym = (
+        wins.select(F.col("w").alias("i"), F.col("l").alias("j"), "n_w")
+        .unionByName(
+            wins.select(
+                F.col("l").alias("i"),
+                F.col("w").alias("j"),
+                F.lit(0).cast("bigint").alias("n_w"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n_w").alias("w_ij"))
+    )
+    n_ij = (
+        sym.alias("x")
+        .join(
+            sym.select(
+                F.col("i").alias("j"),
+                F.col("j").alias("i"),
+                F.col("w_ij").alias("w_ji"),
+            ).alias("y"),
+            ["i", "j"],
+        )
+        .select("i", "j", (F.col("w_ij") + F.col("w_ji")).alias("n_ij"))
+    )
+    tot_w = sym.groupBy("i").agg(F.sum("w_ij").alias("w_tot"))
+    ratings = tot_w.select("i", F.lit(1.0).cast("float").alias("p"))
+    for _ in range(_BT_ITERS):
+        pj = ratings.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        terms = (
+            n_ij.join(F.broadcast(ratings), "i")
+            .join(F.broadcast(pj), "j")
+            .select(
+                "i",
+                F.expr(
+                    "CAST(floor(n_ij / (CAST(p AS DOUBLE)"
+                    " + CAST(p_j AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
+                ).alias("t"),
+            )
+        )
+        denom = terms.groupBy("i").agg(F.sum("t").alias("d9"))
+        ratings = (
+            tot_w.join(denom, "i", "left")
+            .select(
+                "i",
+                F.expr(
+                    "CAST(w_tot / nullif(d9 / 1e9, 0.0) AS FLOAT)"
+                ).alias("p"),
+            )
+        )
+    return (
+        tot_w.join(ratings, "i")
+        .join(
+            n_ij.groupBy("i").agg(F.sum("n_ij").alias("n_matches")),
+            "i",
+            "left",
+        )
+        .select(
+            F.col("i").alias("source"),
+            F.col("w_tot").cast("bigint").alias("n_wins"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.round(F.col("p").cast("double"), 6).alias("rating"),
+        )
+    )
+
+
+def _bt_oracle() -> str:
+    it = """
+r{k} AS (
+  SELECT w.i,
+         CAST(w.w_tot / nullif(sum(
+           CAST(floor(n.n_ij / (CAST(p_i.p AS DOUBLE) + CAST(p_j.p AS DOUBLE))
+                * 1e9 + 0.5) AS BIGINT)
+         ) / 1e9, 0.0) AS REAL) AS p
+  FROM tot_w w
+  LEFT JOIN n_ij n ON n.i = w.i
+  LEFT JOIN r{km1} p_i ON p_i.i = n.i
+  LEFT JOIN r{km1} p_j ON p_j.i = n.j
+  GROUP BY w.i, w.w_tot)"""
+    iters = "".join(
+        it.format(k=k, km1=k - 1) + "," for k in range(1, _BT_ITERS + 1)
+    ).rstrip(",")
+    return f"""
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+m AS (
+  SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS w,
+         CASE WHEN a.n_chars >= b.n_chars THEN b.source ELSE a.source END AS l
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.source <> b.source),
+wins AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n_w FROM m GROUP BY w, l),
+sym AS (
+  SELECT i, j, CAST(sum(n_w) AS BIGINT) AS w_ij FROM (
+    SELECT w AS i, l AS j, n_w FROM wins
+    UNION ALL SELECT l AS i, w AS j, 0 AS n_w FROM wins
+  ) GROUP BY i, j),
+n_ij AS (
+  SELECT x.i, x.j, x.w_ij + y.w_ij AS n_ij
+  FROM sym x JOIN sym y ON y.i = x.j AND y.j = x.i),
+tot_w AS (SELECT i, CAST(sum(w_ij) AS BIGINT) AS w_tot FROM sym GROUP BY i),
+r0 AS (SELECT i, CAST(1.0 AS REAL) AS p FROM tot_w),{iters}
+SELECT w.i AS source,
+       w.w_tot AS n_wins,
+       CAST(coalesce((SELECT sum(n.n_ij) FROM n_ij n WHERE n.i = w.i), 0)
+            AS BIGINT) AS n_matches,
+       round(CAST(r.p AS DOUBLE), 6) AS rating
+FROM tot_w w JOIN r{_BT_ITERS} r ON r.i = w.i
+"""
+
+
+ORACLE_BRADLEY_TERRY = _bt_oracle()
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -263,12 +436,14 @@ TRAINING_QUERIES = {
     "preference_pairs": q_preference_pairs,
     "padding_waste": q_padding_waste,
     "epoch_shuffle": q_epoch_shuffle,
+    "bradley_terry": q_bradley_terry,
 }
 
 TRAINING_ORACLES = {
     "preference_pairs": ORACLE_PREFERENCE_PAIRS,
     "padding_waste": ORACLE_PADDING_WASTE,
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
+    "bradley_terry": ORACLE_BRADLEY_TERRY,
 }
 
 _q.QUERIES.update(TRAINING_QUERIES)

@@ -134,3 +134,74 @@ def test_epoch_shuffle_no_global_sort(spark):
     assert p.count("rangepartitioning") <= 1  # prefix window only
     assert "hashpartitioning(shuffle_key" in p
     assert n_nodes(p, "BroadcastHashJoin") >= 1  # prefix rides a broadcast
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_matches_naive_mm(spark):
+    import math
+    import struct
+
+    from occular_ocr_spark.queries import _t
+    from occular_ocr_spark.queries_training import _BT_ITERS, q_bradley_terry
+
+    docs = sorted(
+        (r["doc_id"], r["source"], r["n_chars"])
+        for r in _t(spark, SF, "documents").collect()
+    )
+    by_id = {d[0]: d for d in docs}
+    wins = {}
+    for did, src, nc in docs:
+        nxt = by_id.get(did + 1)
+        if not nxt or nxt[1] == src:
+            continue
+        w, l = (src, nxt[1]) if nc >= nxt[2] else (nxt[1], src)
+        wins[(w, l)] = wins.get((w, l), 0) + 1
+    srcs = sorted({s for p in wins for s in p})
+    n_ij = {}
+    w_tot = {s: 0 for s in srcs}
+    for (w, l), c in wins.items():
+        n_ij[(w, l)] = n_ij.get((w, l), 0) + c
+        n_ij[(l, w)] = n_ij.get((l, w), 0) + c
+        w_tot[w] += c
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    p = {s: 1.0 for s in srcs}
+    for _ in range(_BT_ITERS):
+        nxt_p = {}
+        for i in srcs:
+            d9 = sum(
+                math.floor(n / (p[i] + p[j]) * 1e9 + 0.5)
+                for (a, j), n in n_ij.items()
+                if a == i
+            )
+            nxt_p[i] = f32(w_tot[i] / (d9 / 1e9)) if d9 else None
+        p = nxt_p
+    out = {r["source"]: r for r in q_bradley_terry(spark, SF).collect()}
+    assert set(out) == set(srcs)
+    for s in srcs:
+        r = out[s]
+        assert r["n_wins"] == w_tot[s]
+        assert r["n_matches"] == sum(
+            n for (a, _), n in n_ij.items() if a == s
+        )
+        assert r["rating"] == round(p[s], 6)
+    # the fit discriminates: ratings are not all identical
+    assert len({r["rating"] for r in out.values()}) > 1
+
+
+def test_bradley_terry_rating_orders_with_win_rate(spark):
+    # Spearman-style sanity: the best and worst win-rate sources must
+    # not invert in rating (the MM fit preserves dominance at the
+    # extremes even after 2 iterations)
+    from occular_ocr_spark.queries_training import q_bradley_terry
+
+    rows = [r for r in q_bradley_terry(spark, SF).collect() if r["rating"]]
+    best = max(rows, key=lambda r: r["n_wins"] / r["n_matches"])
+    worst = min(rows, key=lambda r: r["n_wins"] / r["n_matches"])
+    assert best["rating"] > worst["rating"]

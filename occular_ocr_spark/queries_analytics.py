@@ -735,6 +735,102 @@ JOIN singles sb ON sb.event_type = p.hi, nb n
 """
 
 
+# ---------------------------------------------------------------------------
+# quantile_normalize — per-source quantile normalization to the global
+# distribution (exact integer ranks end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize ``n_chars`` across sources: each document's
+    value is replaced by the GLOBAL value at the same within-source
+    quantile — the cross-batch distribution-alignment step (classic in
+    omics, equally applicable to aligning per-crawl length/quality
+    scores before a single global threshold is applied).
+
+    Semantics, all exact integers:
+
+        q_d = (2·r − 1) / (2·n_s)            (midpoint quantile in source)
+        k_d = ceil(q_d · N)                   (target global rank)
+        normalized = value at global rank k_d
+
+    Scale: the within-source rank window hash-partitions by source
+    (bounded per-source frames — the ``preference_pairs`` shape; a
+    mega-source upgrades to the ``score_deciles`` two-level rank with
+    (source, value) as the first level).  The global rank side IS that
+    two-level rank: per-value counts, one prefix window over the
+    ≤ #distinct-values frame, parallel within-value row_number.  The
+    mapping is then ONE hash equi-join on the integer rank (k = g) —
+    no range join, no global per-row window, no floats anywhere
+    (k_d's ceil is pure BIGINT: (num + den − 1) DIV den; exact while
+    2·r·N < 2^63 — past ~10^9 rows per side, normalize on a quantile
+    grid instead of per-rank).
+    """
+    t = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("bigint").alias("v"),
+    )
+    ws = Window.partitionBy("source").orderBy("v", "doc_id")
+    src = t.withColumn("r", F.row_number().over(ws).cast("bigint"))
+    n_s = t.groupBy("source").agg(F.count("*").alias("n_s"))
+    total = t.agg(F.count("*").alias("n"))
+    # global rank table: the score_deciles two-level decomposition
+    vcounts = t.groupBy("v").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = vcounts.select(
+        "v", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("p")
+    )
+    wr = Window.partitionBy("v").orderBy("doc_id")
+    g = (
+        t.join(F.broadcast(prefix), "v")
+        .select(
+            F.col("v").alias("g_v"),
+            (F.col("p") + F.row_number().over(wr)).alias("g"),
+        )
+    )
+    keyed = (
+        src.join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "k",
+            F.expr("((2 * r - 1) * n + 2 * n_s - 1) DIV (2 * n_s)"),
+        )
+    )
+    return keyed.join(g, F.col("k") == F.col("g")).select(
+        "doc_id",
+        "source",
+        F.col("v").alias("n_chars"),
+        F.col("r").alias("src_rank"),
+        F.col("k").alias("global_rank"),
+        F.col("g_v").alias("normalized"),
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH t AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+src AS (
+  SELECT doc_id, source, v,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY v, doc_id) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM t),
+g AS (
+  SELECT v AS g_v,
+         CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS g
+  FROM t),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+SELECT src.doc_id, src.source, src.v AS n_chars,
+       src.r AS src_rank,
+       ((2 * src.r - 1) * n.n + 2 * src.n_s - 1) // (2 * src.n_s)
+         AS global_rank,
+       g.g_v AS normalized
+FROM src CROSS JOIN n
+JOIN g ON g.g = ((2 * src.r - 1) * n.n + 2 * src.n_s - 1) // (2 * src.n_s)
+"""
+
+
 ANALYTICS_QUERIES = {
     "assoc_rules": q_assoc_rules,
     "ts_gapfill": q_ts_gapfill,
@@ -743,6 +839,7 @@ ANALYTICS_QUERIES = {
     "vocab_encode": q_vocab_encode,
     "jaccard_prefix_filter": q_jaccard_prefix_filter,
     "fuzzy_join_del1": q_fuzzy_join_del1,
+    "quantile_normalize": q_quantile_normalize,
 }
 
 ANALYTICS_ORACLES = {
@@ -753,6 +850,7 @@ ANALYTICS_ORACLES = {
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "jaccard_prefix_filter": ORACLE_JACCARD_PREFIX_FILTER,
     "fuzzy_join_del1": ORACLE_FUZZY_JOIN_DEL1,
+    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
 }
 
 _q.QUERIES.update(ANALYTICS_QUERIES)

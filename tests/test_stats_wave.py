@@ -224,3 +224,59 @@ def test_agent_loop_detect_matches_naive(spark):
     # the fixture synthesis produces both loopy and single-call profiles
     assert any(r["is_loopy"] for r in out.values())
     assert any(not r["is_loopy"] for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_matches_naive(spark):
+    from occular_ocr_spark.queries_analytics import q_quantile_normalize
+
+    docs = _t(spark, SF, "documents").collect()
+    g = sorted((d["n_chars"], d["doc_id"]) for d in docs)
+    n = len(g)
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append((d["n_chars"], d["doc_id"]))
+    expect = {}
+    for src, vals in by_src.items():
+        vals.sort()
+        ns = len(vals)
+        for r, (v, did) in enumerate(vals, start=1):
+            k = ((2 * r - 1) * n + 2 * ns - 1) // (2 * ns)
+            expect[did] = (src, v, r, k, g[k - 1][0])
+    out = {r["doc_id"]: r for r in q_quantile_normalize(spark, SF).collect()}
+    assert set(out) == set(expect)
+    for did, (src, v, r, k, norm) in expect.items():
+        row = out[did]
+        assert (
+            row["source"],
+            row["n_chars"],
+            row["src_rank"],
+            row["global_rank"],
+            row["normalized"],
+        ) == (src, v, r, k, norm)
+
+
+def test_quantile_normalize_monotone_and_bounded(spark):
+    from occular_ocr_spark.queries_analytics import q_quantile_normalize
+
+    rows = q_quantile_normalize(spark, SF).collect()
+    n = len(rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    gmin = min(r["n_chars"] for r in rows)
+    gmax = max(r["n_chars"] for r in rows)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["src_rank"])
+        # target ranks strictly increase with source rank, stay in [1, N]
+        ks = [r["global_rank"] for r in rs]
+        assert all(1 <= k <= n for k in ks)
+        assert ks == sorted(ks)
+        # normalized values are global values, monotone in source rank
+        nv = [r["normalized"] for r in rs]
+        assert nv == sorted(nv)
+        assert gmin <= nv[0] and nv[-1] <= gmax

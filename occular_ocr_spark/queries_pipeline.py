@@ -676,6 +676,121 @@ SELECT stage, n_docs FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# label_propagation — semi-supervised label repair over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_LP_HIDE_MOD = 4  # doc_id % 4 == 0 -> metadata label missing (simulated)
+_LP_ROUNDS = 2  # unrolled majority-vote rounds (pagerank doctrine)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label propagation over the verified near-dup
+    graph: documents with missing metadata (every doc_id ≡ 0 mod
+    _LP_HIDE_MOD plays the role of a crawl shard that lost its ``lang``
+    tag) inherit the majority label of their near-duplicate neighbors —
+    the standard metadata-repair trick (near-dups of a French page are
+    French), run for _LP_ROUNDS unrolled rounds so labels cross two
+    hops.  Ties break to the lexicographically smallest label; seeds
+    never change; unreached docs stay NULL.
+
+    Output: the hidden slice only — (doc_id, true_lang, propagated,
+    correct) — i.e. the repair AND its self-eval against the held-out
+    truth, the form a metadata-backfill job actually ships.
+
+    Scale: edges are the memoized verified-pair set (the materialized
+    near-dup table `dedup_minhash_verify` builds once per corpus
+    snapshot — shared with dedup_groups/cc_largestar, vanishing
+    fraction of the corpus); each round is one edge⋈labels hash join +
+    one partial-agg vote count + a per-NODE rank window (bounded
+    frames, keyed on the same doc_id partitioning).  Round cost is
+    O(edges), independent of the unlabeled fraction.
+    """
+    docs = _q._t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _LP_HIDE_MOD == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ).alias("lbl"),
+    )
+    pairs = _q.q_dedup_minhash_verify(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            edges.join(
+                labels.where(F.col("lbl").isNotNull()).select(
+                    F.col("doc_id").alias("src"), "lbl"
+                ),
+                "src",
+            )
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("n"))
+        )
+        wv = Window.partitionBy("dst").orderBy(F.col("n").desc(), "lbl")
+        prop = (
+            votes.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select(F.col("dst").alias("doc_id"), F.col("lbl").alias("p_lbl"))
+        )
+        labels = labels.join(prop, "doc_id", "left").select(
+            "doc_id", F.coalesce("lbl", "p_lbl").alias("lbl")
+        )
+    return (
+        docs.where(F.col("doc_id") % _LP_HIDE_MOD == 0)
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("lbl").alias("propagated"),
+            F.when(F.col("lbl").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.col("lbl") == F.col("lang"))
+            .alias("correct"),
+        )
+    )
+
+
+def _lp_oracle() -> str:
+    rounds = ""
+    for k in range(1, _LP_ROUNDS + 1):
+        rounds += f""",
+v{k} AS (
+  SELECT e.dst AS doc_id, l.lbl, count(*) AS n
+  FROM edges e JOIN l{k - 1} l ON l.doc_id = e.src
+  WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+p{k} AS (
+  SELECT doc_id, lbl FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n DESC, lbl) AS rk FROM v{k})
+  WHERE rk = 1),
+l{k} AS (
+  SELECT l.doc_id, coalesce(l.lbl, p.lbl) AS lbl
+  FROM l{k - 1} l LEFT JOIN p{k} p USING (doc_id))"""
+    return f"""
+WITH pairs AS ({_q.ORACLE_DEDUP_MINHASH_VERIFY}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+l0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % {_LP_HIDE_MOD} = 0 THEN NULL ELSE lang END AS lbl
+  FROM documents){rounds}
+SELECT d.doc_id, d.lang AS true_lang, l.lbl AS propagated,
+       CASE WHEN l.lbl IS NULL THEN NULL ELSE l.lbl = d.lang END AS correct
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+      WHERE doc_id % {_LP_HIDE_MOD} = 0) d
+JOIN l{_LP_ROUNDS} l USING (doc_id)
+"""
+
+
+ORACLE_LABEL_PROPAGATION = _lp_oracle()
+
+
 PIPELINE_QUERIES = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "cc_largestar": q_cc_largestar,
@@ -689,6 +804,7 @@ PIPELINE_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "event_funnel": q_event_funnel,
     "curation_funnel": q_curation_funnel,
+    "label_propagation": q_label_propagation,
 }
 
 PIPELINE_ORACLES = {
@@ -704,6 +820,7 @@ PIPELINE_ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
 }
 
 _q.QUERIES.update(PIPELINE_QUERIES)

@@ -280,3 +280,54 @@ def test_quantile_normalize_monotone_and_bounded(spark):
         nv = [r["normalized"] for r in rs]
         assert nv == sorted(nv)
         assert gmin <= nv[0] and nv[-1] <= gmax
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_matches_naive(spark):
+    from occular_ocr_spark.queries import QUERIES
+    from occular_ocr_spark.queries_pipeline import (
+        _LP_HIDE_MOD,
+        _LP_ROUNDS,
+        q_label_propagation,
+    )
+
+    docs = {r["doc_id"]: r["lang"] for r in _t(spark, SF, "documents").collect()}
+    pairs = QUERIES["dedup_minhash_verify"](spark, SF).collect()
+    nbrs = {}
+    for p in pairs:
+        nbrs.setdefault(p["doc_a"], []).append(p["doc_b"])
+        nbrs.setdefault(p["doc_b"], []).append(p["doc_a"])
+    lbl = {
+        d: (None if d % _LP_HIDE_MOD == 0 else lang) for d, lang in docs.items()
+    }
+    for _ in range(_LP_ROUNDS):
+        votes = {}
+        for u, vs in nbrs.items():
+            for v in vs:
+                if lbl[v] is not None:
+                    votes.setdefault(u, {}).setdefault(lbl[v], 0)
+                    votes[u][lbl[v]] += 1
+        nxt = dict(lbl)
+        for u, vv in votes.items():
+            if lbl[u] is None:
+                nxt[u] = min(vv, key=lambda l: (-vv[l], l))
+        lbl = nxt
+    out = {r["doc_id"]: r for r in q_label_propagation(spark, SF).collect()}
+    hidden = {d for d in docs if d % _LP_HIDE_MOD == 0}
+    assert set(out) == hidden
+    for d in hidden:
+        r = out[d]
+        assert r["true_lang"] == docs[d]
+        assert r["propagated"] == lbl[d]
+        if lbl[d] is None:
+            assert r["correct"] is None
+        else:
+            assert r["correct"] == (lbl[d] == docs[d])
+    # propagation does real work on the fixture: some repairs happen,
+    # and isolated hidden docs stay NULL
+    assert any(r["propagated"] is not None for r in out.values())
+    assert any(r["propagated"] is None for r in out.values())

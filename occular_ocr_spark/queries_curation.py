@@ -572,6 +572,78 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# k_anonymity — quasi-identifier group-size / diversity audit
+# ---------------------------------------------------------------------------
+
+_KA_K = 10  # k-anonymity threshold
+_KA_L = 2  # l-diversity threshold on the sensitive attribute
+_KA_BUCKET_W = 400  # n_chars quasi-identifier bucket width
+_KA_BUCKET_CAP = 4
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the release-candidate
+    corpus: group by the quasi-identifier tuple (lang, length bucket)
+    and report, per group, its size, the diversity of the sensitive
+    attribute (source), and whether it clears k = _KA_K and l = _KA_L —
+    the governance report a privacy review reads before a derived
+    dataset ships (groups under k re-identify; groups with one
+    sensitive value leak it to everyone in the group).
+
+    Scale: one partial-agg groupBy over the bounded QI key space; the
+    sensitive-diversity count is the standard two-level exact distinct
+    (distinct (QI, source) pairs first, then counts) — mergeable,
+    never a per-group set buffer.  All-integer surfaces.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(
+            f"least(CAST(n_chars AS BIGINT) DIV {_KA_BUCKET_W},"
+            f" {_KA_BUCKET_CAP})"
+        ).alias("len_bucket"),
+        "source",
+    )
+    sizes = d.groupBy("lang", "len_bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    div = (
+        d.select("lang", "len_bucket", "source")
+        .distinct()
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_sensitive"))
+    )
+    return sizes.join(div, ["lang", "len_bucket"]).select(
+        "lang",
+        "len_bucket",
+        "n",
+        "n_sensitive",
+        (F.col("n") >= _KA_K).alias("k_ok"),
+        (F.col("n_sensitive") >= _KA_L).alias("l_ok"),
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH d AS (
+  SELECT lang,
+         least(CAST(n_chars AS BIGINT) // {_KA_BUCKET_W}, {_KA_BUCKET_CAP})
+           AS len_bucket,
+         source
+  FROM documents),
+sizes AS (
+  SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY lang, len_bucket),
+div AS (
+  SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n_sensitive
+  FROM (SELECT DISTINCT lang, len_bucket, source FROM d)
+  GROUP BY lang, len_bucket)
+SELECT sizes.lang, sizes.len_bucket, n, n_sensitive,
+       n >= {_KA_K} AS k_ok,
+       n_sensitive >= {_KA_L} AS l_ok
+FROM sizes JOIN div USING (lang, len_bucket)
+"""
+
+
 CURATION_QUERIES = {
     "pareto_frontier": q_pareto_frontier,
     "dup_span_report": q_dup_span_report,
@@ -579,6 +651,7 @@ CURATION_QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "quality_funnel": q_quality_funnel,
     "cdc_chunks": q_cdc_chunks,
+    "k_anonymity": q_k_anonymity,
 }
 
 CURATION_ORACLES = {
@@ -588,6 +661,7 @@ CURATION_ORACLES = {
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "quality_funnel": ORACLE_QUALITY_FUNNEL,
     "cdc_chunks": _oracle_cdc(),
+    "k_anonymity": ORACLE_K_ANONYMITY,
 }
 
 _q.QUERIES.update(CURATION_QUERIES)

@@ -331,3 +331,33 @@ def test_label_propagation_matches_naive(spark):
     # and isolated hidden docs stay NULL
     assert any(r["propagated"] is not None for r in out.values())
     assert any(r["propagated"] is None for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_matches_naive(spark):
+    from occular_ocr_spark.queries_curation import (
+        _KA_BUCKET_CAP,
+        _KA_BUCKET_W,
+        _KA_K,
+        _KA_L,
+        q_k_anonymity,
+    )
+
+    docs = _t(spark, SF, "documents").collect()
+    groups = {}
+    for d in docs:
+        key = (d["lang"], min(d["n_chars"] // _KA_BUCKET_W, _KA_BUCKET_CAP))
+        groups.setdefault(key, []).append(d["source"])
+    out = {(r["lang"], r["len_bucket"]): r for r in q_k_anonymity(spark, SF).collect()}
+    assert set(out) == set(groups)
+    assert sum(r["n"] for r in out.values()) == len(docs)
+    for key, sensitives in groups.items():
+        r = out[key]
+        assert r["n"] == len(sensitives)
+        assert r["n_sensitive"] == len(set(sensitives))
+        assert r["k_ok"] == (len(sensitives) >= _KA_K)
+        assert r["l_ok"] == (len(set(sensitives)) >= _KA_L)

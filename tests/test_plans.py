@@ -798,3 +798,58 @@ def test_discounted_returns_single_window_one_exchange(spark):
     assert n_nodes(p, "Exchange") == 1
     assert "hashpartitioning(conv_id" in p
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_bradley_terry_bounded_iteration_no_cartesian(spark):
+    """The corpus-sized work is the adjacent-pair equi-join; MM
+    iterations run on the S x S pair frame via broadcast joins — no
+    cartesian product, ratings joins broadcast."""
+    p = plan_of(Q.QUERIES["bradley_terry"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_quantile_normalize_two_level_rank_and_hash_join(spark):
+    """Global rank decomposes as in score_deciles (within-value window
+    partitioned by v); the rank->value mapping is a hash equi-join on
+    the integer rank, never a range join or global per-row window."""
+    p = plan_of(Q.QUERIES["quantile_normalize"](spark, SF_DIR))
+    assert "hashpartitioning(v" in p
+    assert "CartesianProduct" not in p
+    # the k = g mapping compiles to a real equi-join on the rank key
+    # (the only nested-loop join in the plan is the 1-row total cross)
+    assert re.search(r"Left keys \[1\]: \[k#", p)
+
+
+def test_ndcg_eval_index_pruned_broadcast_query_side(spark):
+    """Scoring touches only query-term postings: the Q-row term list
+    broadcasts; the ranking window partitions per term."""
+    p = plan_of(Q.QUERIES["ndcg_eval"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(tok" in p
+    assert "CartesianProduct" not in p
+
+
+def test_label_propagation_edge_joins_no_cartesian(spark):
+    """Each round is an edge-labels hash join + vote agg + per-node
+    rank window partitioned by dst — nothing quadratic."""
+    p = plan_of(Q.QUERIES["label_propagation"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(dst" in p
+
+
+def test_k_anonymity_partial_agg_bounded_keys(spark):
+    """Both rollups are partial-aggregated groupBys over the bounded
+    QI key space; no window, no Python."""
+    p = plan_of(Q.QUERIES["k_anonymity"](spark, SF_DIR))
+    assert n_nodes(p, "Window") == 0
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_chi_square_grid_broadcast_no_row_scaled_crossjoin(spark):
+    """The R x C grid assembles from broadcast level-set joins; the
+    only cross joins carry 1-row or level-set-sized frames."""
+    p = plan_of(Q.QUERIES["chi_square_independence"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

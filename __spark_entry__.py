@@ -70,8 +70,11 @@ _GATE_PRIORITY = [
     # ANN / vector
     "cosine_topk",
     "ann_ivf_search",
-    "ann_lsh_search",
-    "ann_recall_eval",
+    # round-4 wave-11+ families take the ann_lsh_search / ann_recall_eval
+    # slots (both stay catalog-gated via check_queries): retrieval
+    # grading and near-dup-graph label repair
+    "ndcg_eval",
+    "label_propagation",
     "kmeans_lloyd",
     # scale module
     "group_quantiles_dist",
@@ -86,7 +89,10 @@ _GATE_PRIORITY = [
     # analytics
     "jaccard_prefix_filter",
     "fuzzy_join_del1",
-    "sorted_neighborhood",
+    # exact-integer cross-source quantile normalization takes the
+    # sorted_neighborhood slot (third blocking variant stays
+    # catalog-gated) so the governance/normalization family is sampled
+    "quantile_normalize",
     # warehouse
     "merge_upsert",
     "sketch_rollup",

@@ -731,6 +731,179 @@ FROM cross_ GROUP BY 1, 2 HAVING sum(pairs) > 0
 
 
 # ---------------------------------------------------------------------------
+# cusum_drift — CUSUM control chart over daily means (prefix-extremum form)
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 30_000_000  # alarm threshold, micro-cent units (3x typical |dev|)
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart over the daily event-value mean — the
+    sequential drift monitor that fires on a SUSTAINED shift long
+    before any single day looks anomalous (the complement of
+    ``zscore_outliers``' pointwise test).
+
+    The textbook recursion S⁺_t = max(0, S⁺_{t−1} + dev_t) is not a
+    prefix sum — but it equals P_t − min(0, min_{j≤t} P_j) for the
+    running deviation sum P, and the mirrored S⁻_t =
+    max(0, max_{j≤t} P_j) − P_t, so the whole chart is TWO extra
+    window functions over the same bounded frame instead of a
+    sequential scan — that identity is what makes CUSUM distributable.
+
+    Scale: the corpus collapses to per-day partial aggs first; every
+    window runs over the ≤ #days frame (the ``ks_statistic`` bounded-
+    frame contract), never over raw events.  Determinism: daily means
+    and μ are the integer half-up division in micro-cent units; all
+    chart arithmetic is exact BIGINT; the only booleans compare
+    integers to the _CUSUM_H literal.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("s"), F.count("*").alias("c")
+    )
+    x = daily.select(
+        "day", F.expr("(20000 * s + c) DIV (2 * c)").alias("x")
+    )
+    mu = x.groupBy().agg(
+        F.expr("(2 * sum(x) + count(*)) DIV (2 * count(*))").alias("mu")
+    )
+    dev = x.crossJoin(F.broadcast(mu)).select(
+        "day", "x", (F.col("x") - F.col("mu")).alias("dev")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = dev.select(
+        "day", "x", "dev", F.sum("dev").over(wd).alias("p")
+    )
+    chart = pref.select(
+        "day",
+        "x",
+        "dev",
+        "p",
+        F.min("p").over(wd).alias("runmin"),
+        F.max("p").over(wd).alias("runmax"),
+    )
+    return chart.select(
+        "day",
+        "x",
+        "dev",
+        (F.col("p") - F.least(F.lit(0), F.col("runmin"))).alias("cusum_pos"),
+        (F.greatest(F.lit(0), F.col("runmax")) - F.col("p")).alias(
+            "cusum_neg"
+        ),
+        (
+            (F.col("p") - F.least(F.lit(0), F.col("runmin")) > _CUSUM_H)
+            | (F.greatest(F.lit(0), F.col("runmax")) - F.col("p") > _CUSUM_H)
+        ).alias("alarm"),
+    )
+
+
+ORACLE_CUSUM_DRIFT = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+x AS (SELECT day, (20000 * s + c) // (2 * c) AS x FROM daily),
+mu AS (SELECT (2 * sum(x) + count(*)) // (2 * count(*)) AS mu FROM x),
+dev AS (SELECT day, x, x - mu.mu AS dev FROM x, mu),
+pref AS (
+  SELECT day, x, dev,
+         sum(dev) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev),
+chart AS (
+  SELECT day, x, dev, p,
+         min(p) OVER w AS runmin,
+         max(p) OVER w AS runmax
+  FROM pref
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT day, x, dev,
+       p - least(0, runmin) AS cusum_pos,
+       greatest(0, runmax) - p AS cusum_neg,
+       (p - least(0, runmin) > {_CUSUM_H}
+        OR greatest(0, runmax) - p > {_CUSUM_H}) AS alarm
+FROM chart
+"""
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall — nonparametric monotone-trend test over daily means
+# ---------------------------------------------------------------------------
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic over the daily event-value means:
+    S = Σ_{{i<j}} sgn(x_j − x_i) and Kendall's tau = S / (n(n−1)/2) —
+    the standard "is this metric drifting monotonically" test, immune
+    to the outliers that wreck a least-squares slope.
+
+    Scale: the O(D²) pair comparison runs over the per-day aggregate
+    frame (D = #days — a calendar, not the corpus; the same bounded-
+    frame contract as ``sliding_mau``'s day spine), after the corpus
+    collapses to one partial-agg groupBy.  Determinism: daily means
+    are exact integer micro-cents (shared with ``cusum_drift``), sgn
+    compares integers, S and the pair count are BIGINT, tau is the
+    house half-up division.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("s"), F.count("*").alias("c")
+    )
+    x = daily.select(
+        "day", F.expr("(20000 * s + c) DIV (2 * c)").alias("x")
+    )
+    a = x.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = x.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    return (
+        pairs.agg(
+            F.coalesce(F.sum(F.signum(F.col("x2") - F.col("x1"))), F.lit(0.0))
+            .cast("bigint")
+            .alias("s_stat"),
+            F.count("*").alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(x.groupBy().agg(F.count("*").alias("n_days"))))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "s_stat",
+            # half-up on |S| then re-sign: Spark DIV truncates toward
+            # zero but DuckDB // floors, so negative numerators must
+            # never reach the integer division
+            (
+                F.expr(
+                    "CAST(sign(s_stat) AS BIGINT)"
+                    " * ((2000000 * abs(s_stat) + nullif(n_pairs, 0))"
+                    "    DIV nullif(2 * n_pairs, 0))"
+                )
+                / 1000000.0
+            ).alias("tau"),
+        )
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+x AS (SELECT day, (20000 * s + c) // (2 * c) AS x FROM daily),
+p AS (
+  SELECT CAST(coalesce(sum(sign(b.x - a.x)), 0) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM x a JOIN x b ON a.day < b.day),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM x)
+SELECT n.n_days, p.s_stat,
+       CAST(sign(p.s_stat) AS BIGINT)
+         * ((2000000 * abs(p.s_stat) + nullif(p.n_pairs, 0))
+            // nullif(2 * p.n_pairs, 0)) / 1000000.0 AS tau
+FROM p, n
+"""
+
+
+# ---------------------------------------------------------------------------
 # chi_square_independence — lang × length-bucket contingency test
 # ---------------------------------------------------------------------------
 
@@ -956,6 +1129,8 @@ DRIFT_QUERIES = {
     "cross_dedup_sources": q_cross_dedup_sources,
     "chi_square_independence": q_chi_square_independence,
     "welch_ttest": q_welch_ttest,
+    "cusum_drift": q_cusum_drift,
+    "mann_kendall": q_mann_kendall,
 }
 
 DRIFT_ORACLES = {
@@ -969,6 +1144,8 @@ DRIFT_ORACLES = {
     "cross_dedup_sources": ORACLE_CROSS_DEDUP_SOURCES,
     "chi_square_independence": ORACLE_CHI_SQUARE_INDEPENDENCE,
     "welch_ttest": ORACLE_WELCH_TTEST,
+    "cusum_drift": ORACLE_CUSUM_DRIFT,
+    "mann_kendall": ORACLE_MANN_KENDALL,
 }
 
 _q.QUERIES.update(DRIFT_QUERIES)

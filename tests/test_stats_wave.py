@@ -361,3 +361,68 @@ def test_k_anonymity_matches_naive(spark):
         assert r["n_sensitive"] == len(set(sensitives))
         assert r["k_ok"] == (len(sensitives) >= _KA_K)
         assert r["l_ok"] == (len(set(sensitives)) >= _KA_L)
+
+
+# ---------------------------------------------------------------------------
+# cusum_drift / mann_kendall
+# ---------------------------------------------------------------------------
+
+
+def _daily_micro(spark):
+    rows = _t(spark, SF, "events").where(F.col("value").isNotNull()).collect()
+    agg = {}
+    for r in rows:
+        d = r["ts"].date()
+        c = math.floor(r["value"] * 100 + 0.5)
+        s, n = agg.get(d, (0, 0))
+        agg[d] = (s + c, n + 1)
+    return {d: (20000 * s + c) // (2 * c) for d, (s, c) in agg.items()}
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    from occular_ocr_spark.queries_drift import _CUSUM_H, q_cusum_drift
+
+    x = _daily_micro(spark)
+    days = sorted(x)
+    mu = (2 * sum(x.values()) + len(x)) // (2 * len(x))
+    sp = sn = 0
+    expect = {}
+    for d in days:
+        dev = x[d] - mu
+        sp = max(0, sp + dev)
+        sn = max(0, sn - dev)
+        expect[d] = (x[d], dev, sp, sn, sp > _CUSUM_H or sn > _CUSUM_H)
+    out = {r["day"]: r for r in q_cusum_drift(spark, SF).collect()}
+    assert set(out) == set(expect)
+    for d, (xv, dev, sp, sn, alarm) in expect.items():
+        r = out[d]
+        assert (r["x"], r["dev"], r["cusum_pos"], r["cusum_neg"], r["alarm"]) == (
+            xv,
+            dev,
+            sp,
+            sn,
+            alarm,
+        )
+    # the chart does real work on the fixture: both alarm states occur
+    vals = {r["alarm"] for r in out.values()}
+    assert vals == {True, False}
+
+
+def test_mann_kendall_matches_naive(spark):
+    from occular_ocr_spark.queries_drift import q_mann_kendall
+
+    x = _daily_micro(spark)
+    days = sorted(x)
+    s = sum(
+        (x[b] > x[a]) - (x[b] < x[a])
+        for i, a in enumerate(days)
+        for b in days[i + 1 :]
+    )
+    n_pairs = len(days) * (len(days) - 1) // 2
+    sign = (s > 0) - (s < 0)
+    tau = sign * (((2_000_000 * abs(s) + n_pairs) // (2 * n_pairs)) / 1e6)
+    r = q_mann_kendall(spark, SF).collect()[0]
+    assert r["n_days"] == len(days)
+    assert r["s_stat"] == s
+    assert r["tau"] == tau
+    assert -1.0 <= r["tau"] <= 1.0

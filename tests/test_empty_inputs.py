@@ -126,6 +126,13 @@ REPRESENTATIVE = [
     "rbo_rankings",
     "ndcg_eval",
     "agent_loop_detect",
+    # round-4 waves 12-14 (mann_kendall joins the excluded global
+    # aggregates below; welch/chi2/auc rationale applies)
+    "bradley_terry",
+    "quantile_normalize",
+    "label_propagation",
+    "k_anonymity",
+    "cusum_drift",
 ]
 
 
@@ -145,7 +152,8 @@ def test_entry_is_total_on_empty_tables(spark, empty_sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["auc_rank", "chi_square_independence", "welch_ttest"]
+    "name",
+    ["auc_rank", "chi_square_independence", "welch_ttest", "mann_kendall"],
 )
 def test_stat_entries_null_row_on_empty(spark, empty_sf_dir, name):
     # global-aggregate statistics return their single row with NULL
@@ -155,5 +163,5 @@ def test_stat_entries_null_row_on_empty(spark, empty_sf_dir, name):
     rows = QUERIES[name](spark, empty_sf_dir).collect()
     assert len(rows) == 1
     surface = {"auc_rank": "auc", "chi_square_independence": "chi2",
-               "welch_ttest": "t_stat"}[name]
+               "welch_ttest": "t_stat", "mann_kendall": "tau"}[name]
     assert rows[0][surface] is None

@@ -413,7 +413,9 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer half-up division; n_rel = 0 yields NULL ndcg/recall via
     nullif on both engines.
     """
-    postings = (
+    # release-tracked postings cache: three rollups (df, doclen, the
+    # scored join) read this lineage — one tokenize pass, not three
+    postings = _q._persist_tracked(
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")

@@ -66,13 +66,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry's first half materializes; per-query work is the second half
     only.
     """
-    postings = (
+    # release-tracked, not a bare cache: a bench session invoking the
+    # catalog repeatedly must be able to drop this block afterwards
+    # (queries.release_persists — the ADVICE-r3 leak rule)
+    postings = _q._persist_tracked(
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .cache()
     )
     dfc = postings.groupBy("tok").agg(F.count("*").alias("df"))
     qterms = dfc.orderBy(F.col("df").desc(), "tok").limit(_BM25_QUERY_TERMS)

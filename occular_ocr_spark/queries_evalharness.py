@@ -19,6 +19,11 @@ trusting them to gate data:
   relevance labels, per query term — the retrieval-quality harness
   run before an index is trusted to mine training data.
 
+* ``bootstrap_ci`` — deterministic Poisson bootstrap of the corpus
+  mean (per-row hash-drawn multiplicities, B partial-agg replicate
+  rollups), the uncertainty bars a dataset card attaches to its
+  headline statistics.
+
 Same role as the reference's eval harness around its OCR quality
 scores (tests assert score distributions before thresholds are
 trusted, ocr_skel/tests/test_dbnet.py); here the harness itself is a
@@ -544,11 +549,110 @@ FROM topk LEFT JOIN nrel USING (tok)
 """
 
 
+# ---------------------------------------------------------------------------
+# bootstrap_ci — deterministic Poisson bootstrap of a corpus statistic
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+
+# Poisson(1) inverse-CDF thresholds in 1/65536 units (cumulative pmf at
+# k = 0..4, pre-rounded in Python, shared by BOTH engines as literals;
+# mass above the last threshold maps to 5).  Poisson resampling is THE
+# distributed bootstrap: per-row replicate multiplicities need no
+# global n, so the whole resample is map-side.
+_BOOT_T = [24109, 48219, 60273, 64292, 65296]
+_BOOT_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_T))
+    + " ELSE 5 END"
+)
+
+
+def _boot_hash16(dialect: str) -> str:
+    """First 16 bits of md5('doc_id:b') as an integer via hex-alphabet
+    string arithmetic — the portable hash shared with mix_apply_sample
+    (queries_analytics._hash16_expr), extended with the replicate id so
+    each replicate draws an independent multiplicity."""
+    strtype = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def hexv(j: int) -> str:
+        return (
+            f"(instr('0123456789abcdef', substr(md5("
+            f"CAST(doc_id AS {strtype}) || ':' || CAST(b AS {strtype})"
+            f"), {j}, 1)) - 1)"
+        )
+
+    return f"((({hexv(1)} * 16 + {hexv(2)}) * 16 + {hexv(3)}) * 16 + {hexv(4)})"
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the corpus mean document length: every
+    (document, replicate) pair draws a deterministic Poisson(1)
+    multiplicity from a portable hash, and each replicate's weighted
+    mean is one partial-agg rollup — the uncertainty quantification a
+    dataset card attaches to its headline statistics, in the only
+    bootstrap formulation that distributes (per-row multiplicities
+    need no global coordination; Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", the production Poisson-
+    bootstrap recipe).
+
+    Scale: the B-fold expansion is a map-side explode of a constant
+    sequence that collapses immediately into ≤ B partial-agg groups —
+    no shuffle carries the expanded rows' data beyond (b, partial
+    sums); B is a constant.  Determinism: multiplicities are integer
+    CASE lookups on a 16-bit portable hash; sums are exact BIGINT; the
+    replicate mean is the house half-up division.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("x")
+    )
+    expanded = d.select(
+        "doc_id",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "b", "x", F.expr(_boot_hash16("spark")).alias("u")
+    )
+    counted = expanded.select(
+        "b", "x", F.expr(_BOOT_CASE).alias("c")
+    )
+    return (
+        counted.groupBy("b")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_eff"),
+            F.sum(F.col("c") * F.col("x")).cast("bigint").alias("s"),
+        )
+        .select(
+            F.col("b").cast("int").alias("b"),
+            "n_eff",
+            (
+                F.expr("(2000000 * s + nullif(n_eff, 0)) DIV nullif(2 * n_eff, 0)")
+                / 1000000.0
+            ).alias("boot_mean"),
+        )
+    )
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH expanded AS (
+  SELECT b, CAST(n_chars AS BIGINT) AS x,
+         {_boot_hash16("duckdb")} AS u
+  FROM documents, unnest(range(0, {_BOOT_B})) AS r(b)),
+counted AS (SELECT b, x, {_BOOT_CASE} AS c FROM expanded)
+SELECT CAST(b AS INT) AS b,
+       CAST(sum(c) AS BIGINT) AS n_eff,
+       ((2000000 * CAST(sum(c * x) AS BIGINT) + nullif(CAST(sum(c) AS BIGINT), 0))
+        // nullif(2 * CAST(sum(c) AS BIGINT), 0)) / 1000000.0 AS boot_mean
+FROM counted GROUP BY b
+"""
+
+
 EVALHARNESS_QUERIES = {
     "auc_rank": q_auc_rank,
     "calibration_curve": q_calibration_curve,
     "rbo_rankings": q_rbo_rankings,
     "ndcg_eval": q_ndcg_eval,
+    "bootstrap_ci": q_bootstrap_ci,
 }
 
 EVALHARNESS_ORACLES = {
@@ -556,6 +660,7 @@ EVALHARNESS_ORACLES = {
     "calibration_curve": ORACLE_CALIBRATION_CURVE,
     "rbo_rankings": ORACLE_RBO_RANKINGS,
     "ndcg_eval": ORACLE_NDCG_EVAL,
+    "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
 }
 
 _q.QUERIES.update(EVALHARNESS_QUERIES)

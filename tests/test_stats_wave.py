@@ -426,3 +426,48 @@ def test_mann_kendall_matches_naive(spark):
     assert r["s_stat"] == s
     assert r["tau"] == tau
     assert -1.0 <= r["tau"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_naive(spark):
+    import hashlib
+
+    from occular_ocr_spark.queries_evalharness import (
+        _BOOT_B,
+        _BOOT_T,
+        q_bootstrap_ci,
+    )
+
+    docs = [(r["doc_id"], r["n_chars"]) for r in _t(spark, SF, "documents").collect()]
+
+    def mult(doc_id, b):
+        u = int(hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()[:4], 16)
+        for k, t in enumerate(_BOOT_T):
+            if u < t:
+                return k
+        return 5
+
+    expect = {}
+    for b in range(_BOOT_B):
+        s = n = 0
+        for did, x in docs:
+            c = mult(did, b)
+            s += c * x
+            n += c
+        expect[b] = (n, ((2_000_000 * s + n) // (2 * n)) / 1e6)
+    out = {r["b"]: r for r in q_bootstrap_ci(spark, SF).collect()}
+    assert set(out) == set(expect)
+    for b, (n, m) in expect.items():
+        assert (out[b]["n_eff"], out[b]["boot_mean"]) == (n, m)
+    # the resample is live: effective sizes vary around N, means vary
+    # around the true mean but are not all identical
+    true_mean = sum(x for _, x in docs) / len(docs)
+    n_docs = len(docs)
+    for r in out.values():
+        assert abs(r["n_eff"] - n_docs) < 4 * n_docs**0.5 + 1
+        assert abs(r["boot_mean"] - true_mean) < 0.2 * true_mean
+    assert len({r["boot_mean"] for r in out.values()}) > 1

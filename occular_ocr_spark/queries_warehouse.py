@@ -396,12 +396,100 @@ GROUP BY e.event_type, s.w
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental_agg — delta-applied aggregate maintenance vs full recompute
+# ---------------------------------------------------------------------------
+
+_IA_INS_MOD, _IA_INS_VAL = 29, 7  # doc_id % 29 == 7 -> today's inserts
+_IA_DEL_MOD, _IA_DEL_VAL = 31, 3  # doc_id % 31 == 3 -> deleted from base
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-language rollup: yesterday's
+    materialized aggregate plus today's CDC delta (inserts and
+    deletes) combine into the new aggregate WITHOUT rescanning the
+    base — the pattern that turns a daily 100 TB full recompute into a
+    delta-sized job.  Base = docs with doc_id % 29 ≠ 7; the delta
+    inserts those withheld rows and deletes base rows with
+    doc_id % 31 == 3.
+
+    Count/sum are the self-maintainable aggregates (new = old + ins −
+    del per group); the ORACLE is the direct GROUP BY over the
+    post-delta corpus, so the gate itself proves maintenance ==
+    recompute.
+
+    Scale: three partial-agg groupBys — base (in production this is
+    the stored aggregate table, not a scan), inserts, deletes (both
+    delta-sized) — combined with two joins over the bounded language
+    key space.  All-integer surfaces; a group that disappears entirely
+    (count 0) is dropped, matching the recompute.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("x")
+    )
+    is_ins = F.col("doc_id") % _IA_INS_MOD == _IA_INS_VAL
+    is_del = (~is_ins) & (F.col("doc_id") % _IA_DEL_MOD == _IA_DEL_VAL)
+    base_agg = (
+        d.where(~is_ins)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n0"), F.sum("x").alias("s0"))
+    )
+    ins_agg = (
+        d.where(is_ins)
+        .groupBy("lang")
+        .agg(F.count("*").alias("ni"), F.sum("x").alias("si"))
+    )
+    del_agg = (
+        d.where(is_del)
+        .groupBy("lang")
+        .agg(F.count("*").alias("nd"), F.sum("x").alias("sd"))
+    )
+    combined = (
+        base_agg.join(ins_agg, "lang", "full")
+        .join(del_agg, "lang", "full")
+        .select(
+            "lang",
+            (
+                F.coalesce("n0", F.lit(0))
+                + F.coalesce("ni", F.lit(0))
+                - F.coalesce("nd", F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce("s0", F.lit(0))
+                + F.coalesce("si", F.lit(0))
+                - F.coalesce("sd", F.lit(0))
+            ).alias("total_chars"),
+        )
+    )
+    return combined.where(F.col("n_docs") > 0).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# The oracle is the FULL RECOMPUTE over the post-delta corpus — the
+# value-hash gate therefore certifies that delta maintenance equals
+# recomputation, which is the entire contract of the operator.
+ORACLE_INCREMENTAL_AGG = f"""
+WITH state AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents
+  WHERE doc_id % {_IA_INS_MOD} = {_IA_INS_VAL}
+     OR doc_id % {_IA_DEL_MOD} <> {_IA_DEL_VAL})
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS BIGINT) AS total_chars
+FROM state GROUP BY lang HAVING count(*) > 0
+"""
+
+
 WAREHOUSE_QUERIES = {
     "sliding_mau": q_sliding_mau,
     "merge_upsert": q_merge_upsert,
     "triangle_count": q_triangle_count,
     "sample_k_per_group": q_sample_k_per_group,
     "sketch_rollup": q_sketch_rollup,
+    "incremental_agg": q_incremental_agg,
 }
 
 WAREHOUSE_ORACLES = {
@@ -410,6 +498,7 @@ WAREHOUSE_ORACLES = {
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "sample_k_per_group": ORACLE_SAMPLE_K_PER_GROUP,
     "sketch_rollup": ORACLE_SKETCH_ROLLUP,
+    "incremental_agg": ORACLE_INCREMENTAL_AGG,
 }
 
 _q.QUERIES.update(WAREHOUSE_QUERIES)

@@ -471,3 +471,39 @@ def test_bootstrap_ci_matches_naive(spark):
         assert abs(r["n_eff"] - n_docs) < 4 * n_docs**0.5 + 1
         assert abs(r["boot_mean"] - true_mean) < 0.2 * true_mean
     assert len({r["boot_mean"] for r in out.values()}) > 1
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    from occular_ocr_spark.queries_warehouse import (
+        _IA_DEL_MOD,
+        _IA_DEL_VAL,
+        _IA_INS_MOD,
+        _IA_INS_VAL,
+        q_incremental_agg,
+    )
+
+    docs = _t(spark, SF, "documents").collect()
+    state = {}
+    for d in docs:
+        did = d["doc_id"]
+        ins = did % _IA_INS_MOD == _IA_INS_VAL
+        dele = (not ins) and did % _IA_DEL_MOD == _IA_DEL_VAL
+        if ins or not dele:
+            n, s = state.get(d["lang"], (0, 0))
+            state[d["lang"]] = (n + 1, s + d["n_chars"])
+    out = {r["lang"]: r for r in q_incremental_agg(spark, SF).collect()}
+    assert set(out) == {k for k, (n, _) in state.items() if n > 0}
+    for lang, (n, s) in state.items():
+        assert (out[lang]["n_docs"], out[lang]["total_chars"]) == (n, s)
+    # the delta is live: some rows were actually inserted and deleted
+    assert any(d["doc_id"] % _IA_INS_MOD == _IA_INS_VAL for d in docs)
+    assert any(
+        d["doc_id"] % _IA_INS_MOD != _IA_INS_VAL
+        and d["doc_id"] % _IA_DEL_MOD == _IA_DEL_VAL
+        for d in docs
+    )

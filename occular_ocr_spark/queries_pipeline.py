@@ -464,6 +464,80 @@ FROM c, t
 
 
 # ---------------------------------------------------------------------------
+# mixture_temperature — α=1/2 temperature-scaled sampling plan per language
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan at α = 1/2: target share of
+    language s ∝ n_s^α — the multilingual sampling rule (exponentiated
+    smoothing of the raw mix, the standard compromise between raw
+    frequency (α=1, big langs drown small ones) and uniform (α=0,
+    ``domain_mix_weights``)).  α = 1/2 makes the exponentiation a
+    SQRT — IEEE-correctly-rounded on both engines, unlike libm pow.
+
+    Since w_s = sqrt(n_s), the keep probability that realizes the
+    target by downsampling (largest feasible plan, min-count language
+    kept whole) is k_s = w_min / w_s — emitted as integer permille.
+
+    Scale: one partial-agg groupBy to the language counts; everything
+    after runs on the ≤ k-language frame via 1-row broadcasts.
+    Determinism: w quantizes to integer micro-units (floor(sqrt·10^6 +
+    0.5)) BEFORE any sum, so share denominators are exact BIGINT and
+    accumulation order cannot differ; all three surfaces are the house
+    half-up division.
+    """
+    counts = _q._t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = counts.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    tot = w.groupBy().agg(
+        F.sum("n_docs").alias("total"),
+        F.sum("w").alias("w_sum"),
+        F.min("w").alias("w_min"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (
+            F.expr("(2000000 * n_docs + total) DIV (2 * total)") / 1000000.0
+        ).alias("share_raw"),
+        (
+            F.expr("(2000000 * w + w_sum) DIV (2 * w_sum)") / 1000000.0
+        ).alias("share_temp"),
+        F.expr("(2000 * w_min + w) DIV (2 * w)").alias("keep_permille"),
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS w
+  FROM c),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(sum(w) AS BIGINT) AS w_sum,
+             CAST(min(w) AS BIGINT) AS w_min
+      FROM w)
+SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+       ((2000000 * w.n_docs + t.total) // (2 * t.total)) / 1000000.0
+         AS share_raw,
+       ((2000000 * w.w + t.w_sum) // (2 * t.w_sum)) / 1000000.0
+         AS share_temp,
+       (2000 * t.w_min + w.w) // (2 * w.w) AS keep_permille
+FROM w, t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: concat-and-chunk assignment via distributed prefix sum
 # ---------------------------------------------------------------------------
 
@@ -805,6 +879,7 @@ PIPELINE_QUERIES = {
     "event_funnel": q_event_funnel,
     "curation_funnel": q_curation_funnel,
     "label_propagation": q_label_propagation,
+    "mixture_temperature": q_mixture_temperature,
 }
 
 PIPELINE_ORACLES = {
@@ -821,6 +896,7 @@ PIPELINE_ORACLES = {
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "label_propagation": ORACLE_LABEL_PROPAGATION,
+    "mixture_temperature": ORACLE_MIXTURE_TEMPERATURE,
 }
 
 _q.QUERIES.update(PIPELINE_QUERIES)

@@ -507,3 +507,35 @@ def test_incremental_agg_equals_full_recompute(spark):
         and d["doc_id"] % _IA_DEL_MOD == _IA_DEL_VAL
         for d in docs
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_temperature_matches_naive(spark):
+    from occular_ocr_spark.queries_pipeline import q_mixture_temperature
+
+    docs = _t(spark, SF, "documents").collect()
+    counts = {}
+    for d in docs:
+        counts[d["lang"]] = counts.get(d["lang"], 0) + 1
+    w = {l: math.floor(math.sqrt(n) * 1e6 + 0.5) for l, n in counts.items()}
+    total, w_sum, w_min = sum(counts.values()), sum(w.values()), min(w.values())
+    out = {r["lang"]: r for r in q_mixture_temperature(spark, SF).collect()}
+    assert set(out) == set(counts)
+    for l, n in counts.items():
+        r = out[l]
+        assert r["n_docs"] == n
+        assert r["share_raw"] == ((2_000_000 * n + total) // (2 * total)) / 1e6
+        assert r["share_temp"] == ((2_000_000 * w[l] + w_sum) // (2 * w_sum)) / 1e6
+        assert r["keep_permille"] == (2000 * w_min + w[l]) // (2 * w[l])
+    # temperature compresses the mix: the dominant language's share
+    # shrinks, the smallest grows, and the smallest is kept whole
+    big = max(counts, key=counts.get)
+    small = min(counts, key=counts.get)
+    assert out[big]["share_temp"] < out[big]["share_raw"]
+    assert out[small]["share_temp"] > out[small]["share_raw"]
+    assert out[small]["keep_permille"] == 1000
+    assert all(0 < r["keep_permille"] <= 1000 for r in out.values())

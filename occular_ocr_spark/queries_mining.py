@@ -414,11 +414,79 @@ FROM assign a
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_ttl_window — exact dedup with a trailing time-to-live
+# ---------------------------------------------------------------------------
+
+_TTL_DAYS = 7  # a copy older than this no longer suppresses
+
+
+def q_dedup_ttl_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication with a trailing TTL: an event is a duplicate
+    only if an identical event (same user, type, and dollar-bucketed
+    value) occurred within the previous _TTL_DAYS days — older copies
+    are forgotten.  This is the batch contract of state-bounded
+    streaming dedup (``streaming_dedup`` with watermark eviction): at
+    10^12 rows an unbounded "seen" set is impossible, so production
+    dedup ALWAYS carries a TTL; this entry pins what that TTL means.
+
+    Per event: kept flag + the gap (in days, NULL for first
+    occurrence).  Plan: ONE lag window per identity key,
+    hash-partitioned on (user_id, event_type, v) — per-key frames,
+    never global; the verdict is row-local arithmetic on the lag.
+    Determinism: identity uses exact integer cents; the gap compares
+    whole days via epoch-second integer division (identical DIV
+    semantics on non-negative operands); ts ties order by event_id.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # identity bucket: whole dollars (cents DIV 100) — coarse enough
+    # that repeats actually occur, exact-integer on both engines
+    v = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 100")
+    keyed = ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        v.alias("v"),
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "v").orderBy(
+        "sec", "event_id"
+    )
+    lagged = keyed.withColumn("prev_sec", F.lag("sec").over(w))
+    gap_days = F.expr("(sec - prev_sec) DIV 86400")
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "v",
+        gap_days.cast("bigint").alias("gap_days"),
+        F.coalesce(gap_days > F.lit(_TTL_DAYS), F.lit(True)).alias("kept"),
+    )
+
+
+ORACLE_DEDUP_TTL_WINDOW = f"""
+WITH keyed AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS v,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE value IS NOT NULL),
+lagged AS (
+  SELECT *, lag(sec) OVER (PARTITION BY user_id, event_type, v
+                           ORDER BY sec, event_id) AS prev_sec
+  FROM keyed)
+SELECT event_id, user_id, event_type, v,
+       CAST((sec - prev_sec) // 86400 AS BIGINT) AS gap_days,
+       coalesce((sec - prev_sec) // 86400 > {_TTL_DAYS}, TRUE) AS kept
+FROM lagged
+"""
+
+
 MINING_QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
     "scd2_dimension": q_scd2_dimension,
     "semdedup": q_semdedup,
+    "dedup_ttl_window": q_dedup_ttl_window,
 }
 
 MINING_ORACLES = {
@@ -426,6 +494,7 @@ MINING_ORACLES = {
     "winnow_matches": ORACLE_WINNOW_MATCHES,
     "scd2_dimension": ORACLE_SCD2_DIMENSION,
     "semdedup": ORACLE_SEMDEDUP,
+    "dedup_ttl_window": ORACLE_DEDUP_TTL_WINDOW,
 }
 
 _q.QUERIES.update(MINING_QUERIES)

@@ -28,7 +28,7 @@ pipeline would need" tier), sited next to sparse_retrieval
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import queries as _q
 from .queries import _t
@@ -275,14 +275,142 @@ FROM canon GROUP BY canon_url
 # Registration
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# hard_negative_mining — (query, positive, hard-negative) triplets
+# ---------------------------------------------------------------------------
+
+_HN_Q = 8  # query terms (highest-df, the bm25_topk selection rule)
+_HN_P = 5  # triplets per query
+_HN_REL_TF = 2  # relevance labels shared with ndcg_eval
+_HN_REL_LANG = "en"
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for embedding/reranker training: for each query
+    term, pair the r-th best RELEVANT document with the r-th best
+    NON-relevant one under the same BM25 ranking — the "hard negatives
+    from the first-stage retriever" recipe (a random negative is too
+    easy; the top-ranked non-relevant docs are exactly what the trained
+    model must learn to push down).  Labels are the ``ndcg_eval``
+    language-conditioned tf-threshold judgments, so this entry MINES
+    from the same eval frame that grades the ranker.
+
+    Output: (tok, r, pos_doc, neg_doc, margin) for r ≤ _HN_P where both
+    sides exist; margin = pos_score − neg_score (negative margins are
+    the hard cases).
+
+    Scale: scoring touches only query-term postings (broadcast Q-row
+    term list); both rankings are per-term windows over those pruned
+    postings (≤ Q frames); the pairing is one equi-join on (tok, r) —
+    triplet-sized.  Determinism: ranks order by the ROUNDED score with
+    doc_id tie-break (the bm25 cut rule); margin is a difference of
+    already-rounded scores.
+    """
+    postings = _q._persist_tracked(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = dfc.orderBy(F.col("df").desc(), "tok").limit(_HN_Q)
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = doclen.groupBy().agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("nd")
+    )
+    lang_tbl = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    idf = F.log(
+        F.lit(1.0) + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(doclen, "doc_id")
+        .join(lang_tbl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "doc_id",
+            F.round(idf * norm, 4).alias("score"),
+            (
+                (F.col("tf") >= _HN_REL_TF)
+                & (F.col("lang") == _HN_REL_LANG)
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("score").desc(), "doc_id")
+    pos = (
+        scored.where(F.col("rel"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _HN_P)
+        .select("tok", "r", F.col("doc_id").alias("pos_doc"),
+                F.col("score").alias("pos_score"))
+    )
+    neg = (
+        scored.where(~F.col("rel"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _HN_P)
+        .select("tok", "r", F.col("doc_id").alias("neg_doc"),
+                F.col("score").alias("neg_score"))
+    )
+    return pos.join(neg, ["tok", "r"]).select(
+        "tok",
+        F.col("r").cast("int").alias("r"),
+        "pos_doc",
+        "neg_doc",
+        F.round(F.col("pos_score") - F.col("neg_score"), 4).alias("margin"),
+    )
+
+
+ORACLE_HARD_NEGATIVE_MINING = f"""
+WITH postings AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+q AS (SELECT tok, df FROM dfs ORDER BY df DESC, tok LIMIT {_HN_Q}),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+tot AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+scored AS (
+  SELECT p.tok, p.doc_id,
+         round(ln(1 + (tot.nd - q.df + 0.5) / (q.df + 0.5))
+               * p.tf * ({_BM25_K1} + 1)
+               / (p.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                       + {_BM25_B} * dl.dl / tot.avgdl)),
+               4) AS score,
+         (p.tf >= {_HN_REL_TF} AND d.lang = '{_HN_REL_LANG}') AS rel
+  FROM postings p JOIN q USING (tok) JOIN dl USING (doc_id)
+  JOIN documents d ON p.doc_id = d.doc_id, tot),
+pos AS (
+  SELECT tok, row_number() OVER (PARTITION BY tok
+                                 ORDER BY score DESC, doc_id) AS r,
+         doc_id AS pos_doc, score AS pos_score
+  FROM scored WHERE rel QUALIFY r <= {_HN_P}),
+neg AS (
+  SELECT tok, row_number() OVER (PARTITION BY tok
+                                 ORDER BY score DESC, doc_id) AS r,
+         doc_id AS neg_doc, score AS neg_score
+  FROM scored WHERE NOT rel QUALIFY r <= {_HN_P})
+SELECT pos.tok, CAST(pos.r AS INT) AS r, pos_doc, neg_doc,
+       round(pos_score - neg_score, 4) AS margin
+FROM pos JOIN neg USING (tok, r)
+"""
+
+
 RETRIEVAL_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "url_canonicalize": q_url_canonicalize,
+    "hard_negative_mining": q_hard_negative_mining,
 }
 
 RETRIEVAL_ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
 }
 
 _q.QUERIES.update(RETRIEVAL_QUERIES)

@@ -539,3 +539,73 @@ def test_mixture_temperature_matches_naive(spark):
     assert out[small]["share_temp"] > out[small]["share_raw"]
     assert out[small]["keep_permille"] == 1000
     assert all(0 < r["keep_permille"] <= 1000 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# dedup_ttl_window / hard_negative_mining
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_ttl_window_matches_naive(spark):
+    from occular_ocr_spark.queries_mining import _TTL_DAYS, q_dedup_ttl_window
+
+    rows = _t(spark, SF, "events").where(F.col("value").isNotNull()).collect()
+    keyed = {}
+    for r in rows:
+        v = math.floor(r["value"] * 100 + 0.5) // 100
+        sec = int(r["ts"].timestamp())
+        keyed.setdefault((r["user_id"], r["event_type"], v), []).append(
+            (sec, r["event_id"])
+        )
+    expect = {}
+    for key, lst in keyed.items():
+        lst.sort()
+        prev = None
+        for sec, eid in lst:
+            gap = (sec - prev) // 86400 if prev is not None else None
+            expect[eid] = (gap, True if gap is None else gap > _TTL_DAYS)
+            prev = sec
+    out = {r["event_id"]: r for r in q_dedup_ttl_window(spark, SF).collect()}
+    assert set(out) == set(expect)
+    for eid, (gap, kept) in expect.items():
+        assert (out[eid]["gap_days"], out[eid]["kept"]) == (gap, kept)
+    # the TTL is live on the fixture: suppressions actually happen
+    assert any(not r["kept"] for r in out.values())
+    assert sum(1 for r in out.values() if r["kept"]) > len(out) // 2
+
+
+def test_hard_negative_mining_ranks_and_labels(spark):
+    from occular_ocr_spark.queries_retrieval import (
+        _HN_P,
+        _HN_Q,
+        _HN_REL_LANG,
+        _HN_REL_TF,
+        q_hard_negative_mining,
+    )
+
+    rows = q_hard_negative_mining(spark, SF).collect()
+    by_tok = {}
+    for r in rows:
+        by_tok.setdefault(r["tok"], []).append(r)
+    assert 0 < len(by_tok) <= _HN_Q
+    lang = {
+        d["doc_id"]: d["lang"] for d in _t(spark, SF, "documents").collect()
+    }
+    docs_text = {
+        d["doc_id"]: (d["text"] or "") for d in _t(spark, SF, "documents").collect()
+    }
+    for tok, rs in by_tok.items():
+        rs.sort(key=lambda r: r["r"])
+        assert [r["r"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _HN_P
+        for r in rs:
+            # positives satisfy the label; negatives don't
+            pos_tf = docs_text[r["pos_doc"]].split(" ").count(tok)
+            neg_tf = docs_text[r["neg_doc"]].split(" ").count(tok)
+            assert pos_tf >= _HN_REL_TF and lang[r["pos_doc"]] == _HN_REL_LANG
+            assert not (
+                neg_tf >= _HN_REL_TF and lang[r["neg_doc"]] == _HN_REL_LANG
+            )
+        # margins weakly decrease in pos rank direction is NOT guaranteed,
+        # but at least one hard case (margin <= 0) should exist somewhere
+    assert any(r["margin"] is not None for r in rows)

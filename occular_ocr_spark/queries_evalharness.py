@@ -647,12 +647,72 @@ FROM counted GROUP BY b
 """
 
 
+# ---------------------------------------------------------------------------
+# langid_confusion — confusion matrix of the lang_quality heuristic
+# ---------------------------------------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the ``lang_quality`` language-ID heuristic
+    against the metadata label: per (true lang, predicted lang) cell —
+    count and within-true-language share (the recall diagonal) — the
+    eval every langid gate ships with before its predictions are
+    allowed to drop documents.  The marker list only covers en/es/fr,
+    so de/zh rows land in 'unk' or a false language: the matrix
+    QUANTIFIES that known blind spot instead of hiding it.
+
+    Scale: the heuristic is the same zero-shuffle map-side string
+    arithmetic as ``lang_quality``; the matrix is one partial-agg
+    groupBy over the ≤ |langs|² key space, with row totals as a rollup
+    of the cells (never a second corpus pass).  Shares are the house
+    half-up division.
+    """
+    pred = _q.q_lang_quality(spark, sf_dir).select("doc_id", "lang_pred")
+    truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rowtot = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    return cells.join(F.broadcast(rowtot), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+        (
+            F.expr("(2000000 * n + row_n) DIV (2 * row_n)") / 1000000.0
+        ).alias("share_of_true"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH pred AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_q._LANG_PRED_SQL} AS lang_pred
+  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)),
+cells AS (
+  SELECT d.lang, pred.lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+  GROUP BY d.lang, pred.lang_pred),
+rowtot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY lang)
+SELECT cells.lang, lang_pred, n,
+       (cells.lang = lang_pred) AS is_correct,
+       ((2000000 * n + row_n) // (2 * row_n)) / 1000000.0 AS share_of_true
+FROM cells JOIN rowtot USING (lang)
+"""
+
+
+ORACLE_LANGID_CONFUSION = _langid_confusion_oracle()
+
+
 EVALHARNESS_QUERIES = {
     "auc_rank": q_auc_rank,
     "calibration_curve": q_calibration_curve,
     "rbo_rankings": q_rbo_rankings,
     "ndcg_eval": q_ndcg_eval,
     "bootstrap_ci": q_bootstrap_ci,
+    "langid_confusion": q_langid_confusion,
 }
 
 EVALHARNESS_ORACLES = {
@@ -661,6 +721,7 @@ EVALHARNESS_ORACLES = {
     "rbo_rankings": ORACLE_RBO_RANKINGS,
     "ndcg_eval": ORACLE_NDCG_EVAL,
     "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
+    "langid_confusion": ORACLE_LANGID_CONFUSION,
 }
 
 _q.QUERIES.update(EVALHARNESS_QUERIES)

@@ -609,3 +609,41 @@ def test_hard_negative_mining_ranks_and_labels(spark):
         # margins weakly decrease in pos rank direction is NOT guaranteed,
         # but at least one hard case (margin <= 0) should exist somewhere
     assert any(r["margin"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion
+# ---------------------------------------------------------------------------
+
+
+def test_langid_confusion_matches_naive(spark):
+    from occular_ocr_spark.queries import QUERIES, _LANG_MARKERS
+    from occular_ocr_spark.queries_evalharness import q_langid_confusion
+
+    truth = {d["doc_id"]: d["lang"] for d in _t(spark, SF, "documents").collect()}
+    pred = {
+        r["doc_id"]: r["lang_pred"]
+        for r in QUERIES["lang_quality"](spark, SF).collect()
+    }
+    cells = {}
+    for did, lang in truth.items():
+        key = (lang, pred[did])
+        cells[key] = cells.get(key, 0) + 1
+    rowtot = {}
+    for (lang, _), n in cells.items():
+        rowtot[lang] = rowtot.get(lang, 0) + n
+    out = {(r["lang"], r["lang_pred"]): r for r in q_langid_confusion(spark, SF).collect()}
+    assert set(out) == set(cells)
+    for key, n in cells.items():
+        r = out[key]
+        assert r["n"] == n
+        assert r["is_correct"] == (key[0] == key[1])
+        rt = rowtot[key[0]]
+        assert r["share_of_true"] == ((2_000_000 * n + rt) // (2 * rt)) / 1e6
+    assert sum(r["n"] for r in out.values()) == len(truth)
+    # the covered languages mostly self-identify; the uncovered ones
+    # cannot land on their own label at all
+    covered = set(_LANG_MARKERS)
+    for lang in {l for l, _ in cells}:
+        if lang not in covered:
+            assert (lang, lang) not in cells

@@ -1115,6 +1115,151 @@ FROM mid
 
 
 # ---------------------------------------------------------------------------
+# vocab_overlap — per-source-pair vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary (token-type) Jaccard between every pair of sources —
+    the corpus-diagnostics matrix that says which domains speak the
+    same language before a mixture plan treats them as exchangeable
+    (a near-zero overlap pair should not share a dedup namespace; a
+    near-one pair is probably the same crawl twice).
+
+    Scale: the corpus reduces to DISTINCT (source, token) pairs first
+    (two-level distinct agg); the intersection join fans out per token
+    by at most the source cardinality (bounded alphabet — the
+    ``cross_dedup_sources`` shape); set sizes are rollups of the same
+    distinct table.  All-integer Jaccard via the half-up division.
+    """
+    st = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n_types"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_types").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_types").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.col("na").cast("bigint").alias("n_types_a"),
+            F.col("nb").cast("bigint").alias("n_types_b"),
+            (
+                F.expr(
+                    "(2000000 * n_common + (na + nb - n_common))"
+                    " DIV (2 * (na + nb - n_common))"
+                )
+                / 1000000.0
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_VOCAB_OVERLAP = """
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+          FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT src_a, src_b, n_common,
+       sa.n_types AS n_types_a, sb.n_types AS n_types_b,
+       ((2000000 * n_common + (sa.n_types + sb.n_types - n_common))
+        // (2 * (sa.n_types + sb.n_types - n_common))) / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# wilson_intervals — per-slice pass rate with a Wilson 95% CI
+# ---------------------------------------------------------------------------
+
+_WIL_Z = 1.96  # shared literal; z² enters as the exact double 3.8416
+_WIL_PASS_CHARS = 400  # pass = document at least this long
+
+
+def q_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pass rate with a Wilson-score 95% interval —
+    the per-slice metric-with-uncertainty a dataset card reports (the
+    analytic companion of ``bootstrap_ci``: closed-form, per-slice,
+    and honest for small slices where the normal interval lies).
+
+        center ± z·√(p̂(1−p̂)/n + z²/4n²)  over  (1 + z²/n)
+
+    Scale: ONE conditional partial-agg scan (n, k per source); the
+    interval is row-local IEEE arithmetic on exact integers — both
+    engines evaluate the identical expression tree (sqrt is
+    correctly-rounded; z and z² are shared literals), surfaces rounded
+    half-up to 6.
+    """
+    d = _t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("n_chars") >= _WIL_PASS_CHARS).cast("bigint")
+        ).alias("k"),
+    )
+    # cnum ± hnum over ONE shared denominator — the exact association
+    # the oracle uses, so both engines build the identical IEEE tree
+    z2 = _WIL_Z * _WIL_Z
+    p = F.col("k") / F.col("n")
+    denom = 1 + F.lit(z2) / F.col("n")
+    cnum = p + F.lit(z2) / (2 * F.col("n"))
+    hnum = F.lit(_WIL_Z) * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + F.lit(z2) / (4 * F.col("n") * F.col("n"))
+    )
+    return d.select(
+        "source",
+        "n",
+        "k",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((cnum - hnum) / denom, 6).alias("wilson_lo"),
+        F.round((cnum + hnum) / denom, 6).alias("wilson_hi"),
+    )
+
+
+ORACLE_WILSON_INTERVALS = f"""
+WITH d AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN n_chars >= {_WIL_PASS_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM documents GROUP BY source)
+SELECT source, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS pass_rate,
+       round(((CAST(k AS DOUBLE) / n + {_WIL_Z * _WIL_Z} / (2 * n))
+              - {_WIL_Z} * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                                + {_WIL_Z * _WIL_Z} / (4 * n * n)))
+             / (1 + {_WIL_Z * _WIL_Z} / n), 6) AS wilson_lo,
+       round(((CAST(k AS DOUBLE) / n + {_WIL_Z * _WIL_Z} / (2 * n))
+              + {_WIL_Z} * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                                + {_WIL_Z * _WIL_Z} / (4 * n * n)))
+             / (1 + {_WIL_Z * _WIL_Z} / n), 6) AS wilson_hi
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1131,6 +1276,8 @@ DRIFT_QUERIES = {
     "welch_ttest": q_welch_ttest,
     "cusum_drift": q_cusum_drift,
     "mann_kendall": q_mann_kendall,
+    "vocab_overlap": q_vocab_overlap,
+    "wilson_intervals": q_wilson_intervals,
 }
 
 DRIFT_ORACLES = {
@@ -1146,6 +1293,8 @@ DRIFT_ORACLES = {
     "welch_ttest": ORACLE_WELCH_TTEST,
     "cusum_drift": ORACLE_CUSUM_DRIFT,
     "mann_kendall": ORACLE_MANN_KENDALL,
+    "vocab_overlap": ORACLE_VOCAB_OVERLAP,
+    "wilson_intervals": ORACLE_WILSON_INTERVALS,
 }
 
 _q.QUERIES.update(DRIFT_QUERIES)

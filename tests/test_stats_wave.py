@@ -647,3 +647,65 @@ def test_langid_confusion_matches_naive(spark):
     for lang in {l for l, _ in cells}:
         if lang not in covered:
             assert (lang, lang) not in cells
+
+
+# ---------------------------------------------------------------------------
+# vocab_overlap / wilson_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_overlap_matches_naive(spark):
+    from occular_ocr_spark.queries_drift import q_vocab_overlap
+
+    docs = _t(spark, SF, "documents").collect()
+    vocab = {}
+    for d in docs:
+        vocab.setdefault(d["source"], set()).update(
+            t for t in (d["text"] or "").split(" ") if t
+        )
+    out = {(r["src_a"], r["src_b"]): r for r in q_vocab_overlap(spark, SF).collect()}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in out
+                continue
+            r = out[(a, b)]
+            union = len(vocab[a] | vocab[b])
+            assert r["n_common"] == inter
+            assert r["n_types_a"] == len(vocab[a])
+            assert r["n_types_b"] == len(vocab[b])
+            assert r["jaccard"] == ((2_000_000 * inter + union) // (2 * union)) / 1e6
+    # overlap is informative: neither all-zero nor all-one
+    js = [r["jaccard"] for r in out.values()]
+    assert js and min(js) < 1.0
+
+
+def test_wilson_intervals_match_naive(spark):
+    from occular_ocr_spark.queries_drift import (
+        _WIL_PASS_CHARS,
+        _WIL_Z,
+        q_wilson_intervals,
+    )
+
+    docs = _t(spark, SF, "documents").collect()
+    agg = {}
+    for d in docs:
+        n, k = agg.get(d["source"], (0, 0))
+        agg[d["source"]] = (n + 1, k + (d["n_chars"] >= _WIL_PASS_CHARS))
+    out = {r["source"]: r for r in q_wilson_intervals(spark, SF).collect()}
+    assert set(out) == set(agg)
+    z2 = _WIL_Z * _WIL_Z
+    for src, (n, k) in agg.items():
+        p = k / n
+        denom = 1 + z2 / n
+        cnum = p + z2 / (2 * n)
+        hnum = _WIL_Z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        r = out[src]
+        assert r["n"] == n and r["k"] == k
+        assert abs(r["pass_rate"] - p) <= 5e-7
+        assert abs(r["wilson_lo"] - (cnum - hnum) / denom) <= 1e-6
+        assert abs(r["wilson_hi"] - (cnum + hnum) / denom) <= 1e-6
+        # the interval brackets the point estimate and stays in [0, 1]
+        assert 0.0 <= r["wilson_lo"] <= r["pass_rate"] <= r["wilson_hi"] <= 1.0

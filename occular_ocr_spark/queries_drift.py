@@ -1260,6 +1260,105 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# fighting_words — Dirichlet-prior log-odds corpus comparison
+# ---------------------------------------------------------------------------
+
+_FW_A0 = 100.0  # total prior mass (informative Dirichlet, Monroe et al.)
+_FW_TOPK = 15  # strongest markers reported per side
+
+
+def q_fighting_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Fightin' Words" (Monroe, Colaresi & Quinn, 2008): per-token
+    z-scored log-odds-ratio with an informative Dirichlet prior between
+    two corpus halves (doc_id parity — the snapshot-vs-snapshot stand-
+    in) — THE principled "which words distinguish these two corpora"
+    comparison (raw log-odds overweights rare words; the prior and the
+    variance term fix exactly that).  Reports the _FW_TOPK strongest
+    markers of each side.
+
+        δ_w = ln((y_aw+α_w)/(n_a+α0−y_aw−α_w))
+            − ln((y_bw+α_w)/(n_b+α0−y_bw−α_w));   z_w = δ_w/√(1/(y_aw+α_w)+1/(y_bw+α_w))
+
+    with α_w = α0·y_w/n (prior ∝ the pooled distribution).
+
+    Scale: one tokenize into a per-(token, side) partial agg; totals
+    are rollups riding a 1-row broadcast; z is row-local IEEE math on
+    exact integer counts; the report is two TakeOrdered top-Ks (never a
+    global sort).  Determinism: ranking orders by the ROUNDED z with
+    token tie-break.
+    """
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 2 == 0).alias("is_a"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.col("is_a").cast("bigint")).alias("y_a"),
+        F.sum((~F.col("is_a")).cast("bigint")).alias("y_b"),
+    )
+    tot = counts.groupBy().agg(
+        F.sum("y_a").alias("n_a"), F.sum("y_b").alias("n_b")
+    )
+    alpha = F.lit(_FW_A0) * (F.col("y_a") + F.col("y_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    delta = F.log(
+        (F.col("y_a") + alpha)
+        / (F.col("n_a") + F.lit(_FW_A0) - F.col("y_a") - alpha)
+    ) - F.log(
+        (F.col("y_b") + alpha)
+        / (F.col("n_b") + F.lit(_FW_A0) - F.col("y_b") - alpha)
+    )
+    z = delta / F.sqrt(
+        1 / (F.col("y_a") + alpha) + 1 / (F.col("y_b") + alpha)
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "tok", "y_a", "y_b", F.round(z, 6).alias("z")
+    )
+    top_a = scored.orderBy(F.col("z").desc(), "tok").limit(_FW_TOPK)
+    top_b = scored.orderBy(F.col("z").asc(), "tok").limit(_FW_TOPK)
+    return top_a.withColumn("side", F.lit("a")).unionByName(
+        top_b.withColumn("side", F.lit("b"))
+    )
+
+
+ORACLE_FIGHTING_WORDS = f"""
+WITH toks AS (
+  SELECT (doc_id % 2 = 0) AS is_a, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+counts AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS y_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS y_b
+  FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(y_a) AS BIGINT) AS n_a,
+               CAST(sum(y_b) AS BIGINT) AS n_b
+        FROM counts),
+scored AS (
+  SELECT tok, y_a, y_b,
+         round(
+           (ln((y_a + {_FW_A0} * (y_a + y_b) / (n_a + n_b))
+               / (n_a + {_FW_A0} - y_a - {_FW_A0} * (y_a + y_b) / (n_a + n_b)))
+          - ln((y_b + {_FW_A0} * (y_a + y_b) / (n_a + n_b))
+               / (n_b + {_FW_A0} - y_b - {_FW_A0} * (y_a + y_b) / (n_a + n_b))))
+           / sqrt(1 / (y_a + {_FW_A0} * (y_a + y_b) / (n_a + n_b))
+                + 1 / (y_b + {_FW_A0} * (y_a + y_b) / (n_a + n_b))), 6) AS z
+  FROM counts, tot)
+SELECT * FROM (
+  SELECT tok, y_a, y_b, z, 'a' AS side FROM scored
+  ORDER BY z DESC, tok LIMIT {_FW_TOPK})
+UNION ALL
+SELECT * FROM (
+  SELECT tok, y_a, y_b, z, 'b' AS side FROM scored
+  ORDER BY z ASC, tok LIMIT {_FW_TOPK})
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1278,6 +1377,7 @@ DRIFT_QUERIES = {
     "mann_kendall": q_mann_kendall,
     "vocab_overlap": q_vocab_overlap,
     "wilson_intervals": q_wilson_intervals,
+    "fighting_words": q_fighting_words,
 }
 
 DRIFT_ORACLES = {
@@ -1295,6 +1395,7 @@ DRIFT_ORACLES = {
     "mann_kendall": ORACLE_MANN_KENDALL,
     "vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "wilson_intervals": ORACLE_WILSON_INTERVALS,
+    "fighting_words": ORACLE_FIGHTING_WORDS,
 }
 
 _q.QUERIES.update(DRIFT_QUERIES)

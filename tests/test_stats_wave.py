@@ -709,3 +709,47 @@ def test_wilson_intervals_match_naive(spark):
         assert abs(r["wilson_hi"] - (cnum + hnum) / denom) <= 1e-6
         # the interval brackets the point estimate and stays in [0, 1]
         assert 0.0 <= r["wilson_lo"] <= r["pass_rate"] <= r["wilson_hi"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# fighting_words
+# ---------------------------------------------------------------------------
+
+
+def test_fighting_words_matches_naive(spark):
+    from occular_ocr_spark.queries_drift import (
+        _FW_A0,
+        _FW_TOPK,
+        q_fighting_words,
+    )
+
+    docs = _t(spark, SF, "documents").collect()
+    ya, yb = {}, {}
+    for d in docs:
+        tgt = ya if d["doc_id"] % 2 == 0 else yb
+        for t in (d["text"] or "").split(" "):
+            if t:
+                tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(ya) | set(yb)
+    na, nb = sum(ya.values()), sum(yb.values())
+    zs = {}
+    for t in vocab:
+        a, b = ya.get(t, 0), yb.get(t, 0)
+        alpha = _FW_A0 * (a + b) / (na + nb)
+        delta = math.log((a + alpha) / (na + _FW_A0 - a - alpha)) - math.log(
+            (b + alpha) / (nb + _FW_A0 - b - alpha)
+        )
+        zs[t] = round(delta / math.sqrt(1 / (a + alpha) + 1 / (b + alpha)), 6)
+    top_a = sorted(vocab, key=lambda t: (-zs[t], t))[:_FW_TOPK]
+    top_b = sorted(vocab, key=lambda t: (zs[t], t))[:_FW_TOPK]
+    out = q_fighting_words(spark, SF).collect()
+    got_a = [r["tok"] for r in out if r["side"] == "a"]
+    got_b = [r["tok"] for r in out if r["side"] == "b"]
+    assert got_a == top_a and got_b == top_b
+    for r in out:
+        assert abs(r["z"] - zs[r["tok"]]) <= 2e-6
+        assert r["y_a"] == ya.get(r["tok"], 0)
+        assert r["y_b"] == yb.get(r["tok"], 0)
+    # the comparison separates: side-a markers score positive, side-b
+    # markers negative (on any corpus where halves differ at all)
+    assert max(zs[t] for t in got_a) > 0 > min(zs[t] for t in got_b)

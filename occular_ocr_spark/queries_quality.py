@@ -348,16 +348,207 @@ FROM fx
 # registration
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# token_entropy — per-source Shannon entropy of the token distribution
+# ---------------------------------------------------------------------------
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution statistics: Shannon entropy in
+    nats (H = ln N − Σ y·ln y / N — the exact-integer-count form, no
+    per-token probability ever materializes), normalized entropy
+    H/ln V, type and token counts, and the hapax-legomena share —
+    together the dataset-card "is this slice natural language or
+    template spam" panel (templated text shows low normalized entropy
+    and a collapsed hapax share; natural text sits near Zipf).
+
+    Scale: one tokenize into a (source, token) partial agg; entropy
+    needs only Σ y·ln y per source — a rollup of those counts (ln on
+    exact BIGINT-valued doubles, identical on both engines); no
+    window, no join beyond the bounded per-source frame.  Surfaces
+    round half-up at 6.
+    """
+    tf = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("y"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("y").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("y") * F.log(F.col("y").cast("double"))).alias("sylny"),
+        F.sum((F.col("y") == 1).cast("bigint")).alias("n_hapax"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("sylny") / F.col(
+        "n_tokens"
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(h / F.log(F.col("n_types").cast("double")), 6).alias(
+            "entropy_norm"
+        ),
+        (
+            F.expr("(2000000 * n_hapax + n_types) DIV (2 * n_types)")
+            / 1000000.0
+        ).alias("hapax_share"),
+    )
+
+
+ORACLE_TOKEN_ENTROPY = """
+WITH tf AS (
+  SELECT source, tok, count(*) AS y
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY source, tok),
+agg AS (
+  SELECT source,
+         CAST(sum(y) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(y * ln(CAST(y AS DOUBLE))) AS sylny,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tf GROUP BY source)
+SELECT source, n_tokens, n_types, n_hapax,
+       round(ln(CAST(n_tokens AS DOUBLE)) - sylny / n_tokens, 6)
+         AS entropy_nats,
+       round((ln(CAST(n_tokens AS DOUBLE)) - sylny / n_tokens)
+             / ln(CAST(n_types AS DOUBLE)), 6) AS entropy_norm,
+       ((2000000 * n_hapax + n_types) // (2 * n_types)) / 1000000.0
+         AS hapax_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — least-squares Zipf slope over the per-source top ranks
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 100  # ranks fitted (the Zipfian head)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank)
+    over the top-_ZIPF_TOPN token ranks, with r² — natural language
+    sits near slope ≈ −1; template/boilerplate spam bends the head of
+    the curve, making this the corpus-health twin of
+    ``ngram_diversity`` that looks at the DISTRIBUTION, not the text.
+
+    Scale: the rank window partitions per source over the top-N frame
+    only (rank > N is filtered by the same window's row_number — never
+    a global sort); the OLS reduces to five partial-agg moment sums of
+    (ln rank, ln freq) per source — exactly the ``corr_matrix``
+    one-row-of-sums shape.  Determinism: ranks are integers (freq
+    desc, token tie-break), and the log coordinates QUANTIZE to exact
+    integer micro-units before any sum — float moment sums are
+    accumulation-order-sensitive, exact BIGINT sums are not (the
+    corr_matrix doctrine; products stay < 2^63 since |ln| ≤ ln(freq)
+    and N is a constant).  The fit is then row-local IEEE math on one
+    row of exact integers, rounded half-up at 6.
+    """
+    tf = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("y"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("y").desc(), "tok")
+    ranked = (
+        tf.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _ZIPF_TOPN)
+        .select(
+            "source",
+            F.expr(
+                "CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(floor(ln(CAST(y AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("yv"),
+        )
+    )
+    m = ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum(F.col("x") * F.col("yv")).alias("sxy"),
+    )
+    # every moment casts to DOUBLE before arithmetic: BIGINT products
+    # would overflow int64 in Spark (ANSI error) but promote to
+    # HUGEINT in DuckDB (exact) — divergent unless both trees are IEEE
+    nD = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = nD * sxy - sx * sy
+    varx = nD * sxx - sx * sx
+    vary = nD * syy - sy * sy
+    return m.select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH tf AS (
+  SELECT source, tok, count(*) AS y
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY source, tok),
+ranked AS (
+  SELECT source,
+         CAST(floor(ln(CAST(row_number() OVER w AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS x,
+         CAST(floor(ln(CAST(y AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS yv,
+         row_number() OVER w AS r
+  FROM tf
+  WINDOW w AS (PARTITION BY source ORDER BY y DESC, tok)
+  QUALIFY r <= {_ZIPF_TOPN}),
+m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(yv * yv) AS BIGINT) AS syy,
+         CAST(sum(x * yv) AS BIGINT) AS sxy
+  FROM ranked GROUP BY source),
+d AS (
+  SELECT source, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+  FROM m)
+SELECT source, n AS n_ranks,
+       round(cov / varx, 6) AS zipf_slope,
+       round(cov * cov / (varx * vary), 6) AS r2
+FROM d
+"""
+
+
 QUALITY_QUERIES = {
     "gopher_rules": q_gopher_rules,
     "ngram_diversity": q_ngram_diversity,
     "discounted_returns": q_discounted_returns,
+    "token_entropy": q_token_entropy,
+    "zipf_fit": q_zipf_fit,
 }
 
 QUALITY_ORACLES = {
     "gopher_rules": ORACLE_GOPHER_RULES,
     "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
     "discounted_returns": ORACLE_DISCOUNTED_RETURNS,
+    "token_entropy": ORACLE_TOKEN_ENTROPY,
+    "zipf_fit": ORACLE_ZIPF_FIT,
 }
 
 _q.QUERIES.update(QUALITY_QUERIES)

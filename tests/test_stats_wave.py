@@ -753,3 +753,68 @@ def test_fighting_words_matches_naive(spark):
     # the comparison separates: side-a markers score positive, side-b
     # markers negative (on any corpus where halves differ at all)
     assert max(zs[t] for t in got_a) > 0 > min(zs[t] for t in got_b)
+
+
+# ---------------------------------------------------------------------------
+# token_entropy / zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def _source_tf(spark):
+    tf = {}
+    for d in _t(spark, SF, "documents").collect():
+        m = tf.setdefault(d["source"], {})
+        for t in (d["text"] or "").split(" "):
+            if t:
+                m[t] = m.get(t, 0) + 1
+    return tf
+
+
+def test_token_entropy_matches_naive(spark):
+    from occular_ocr_spark.queries_quality import q_token_entropy
+
+    tf = _source_tf(spark)
+    out = {r["source"]: r for r in q_token_entropy(spark, SF).collect()}
+    assert set(out) == set(tf)
+    for src, m in tf.items():
+        n = sum(m.values())
+        h = math.log(n) - sum(y * math.log(y) for y in m.values()) / n
+        hapax = sum(1 for y in m.values() if y == 1)
+        r = out[src]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (n, len(m), hapax)
+        assert abs(r["entropy_nats"] - h) <= 2e-6
+        assert abs(r["entropy_norm"] - h / math.log(len(m))) <= 2e-6
+        # entropy bounds: 0 <= H <= ln(V)
+        assert 0.0 <= r["entropy_norm"] <= 1.0 + 1e-9
+
+
+def test_zipf_fit_matches_naive(spark):
+    from occular_ocr_spark.queries_quality import _ZIPF_TOPN, q_zipf_fit
+
+    tf = _source_tf(spark)
+    out = {r["source"]: r for r in q_zipf_fit(spark, SF).collect()}
+    for src, m in tf.items():
+        ranked = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPN]
+        pts = [
+            (
+                math.floor(math.log(i + 1) * 1e6 + 0.5),
+                math.floor(math.log(y) * 1e6 + 0.5),
+            )
+            for i, (_, y) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        cov = float(n) * float(sxy) - float(sx) * float(sy)
+        varx = float(n) * float(sxx) - float(sx) * float(sx)
+        vary = float(n) * float(syy) - float(sy) * float(sy)
+        r = out[src]
+        assert r["n_ranks"] == n
+        assert abs(r["zipf_slope"] - cov / varx) <= 2e-6
+        assert abs(r["r2"] - cov * cov / (varx * vary)) <= 2e-6
+        # a frequency-ranked curve slopes downward and fits decently
+        assert r["zipf_slope"] < 0
+        assert 0.0 <= r["r2"] <= 1.0

@@ -706,6 +706,108 @@ FROM cells JOIN rowtot USING (lang)
 ORACLE_LANGID_CONFUSION = _langid_confusion_oracle()
 
 
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the ``lang_quality`` language-ID heuristic
+    and the metadata label — the chance-corrected agreement statistic
+    every weak-labeler pair gets audited with before its votes enter a
+    label model (``langid_confusion`` shows WHERE they disagree; kappa
+    compresses it to the one number a dashboard tracks).
+
+    With exact integer cells n_ij, row totals r_i, column totals c_i:
+    po = Σ n_ii / N, pe = Σ r_i·c_i / N², and
+
+        kappa = (N·Σ n_ii − Σ r_i·c_i) / (N² − Σ r_i·c_i)
+
+    — numerator and denominator are EXACT integers (DECIMAL(38,0)
+    promoted), so kappa is one IEEE division, bit-identical on both
+    engines; po/pe are derived the same way.
+
+    Scale: the heuristic is zero-shuffle map-side string arithmetic;
+    the matrix is a ≤|langs|² bounded-key partial agg; rows, columns
+    and the three scalars are rollups of those cells — never a second
+    corpus pass, never a collect.
+    """
+    pred = _q.q_lang_quality(spark, sf_dir).select("doc_id", "lang_pred")
+    truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    cells = _q._persist_tracked(cells)
+    rows = cells.groupBy("lang").agg(F.sum("n").alias("r"))
+    cols = cells.groupBy("lang_pred").agg(F.sum("n").alias("c"))
+    rc = (
+        rows.join(cols, rows.lang == cols.lang_pred)
+        .agg(
+            F.sum(
+                F.col("r").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+            ).alias("s_rc")
+        )
+    )
+    scalars = cells.agg(
+        F.sum("n").cast("decimal(38,0)").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))
+              .otherwise(F.lit(0))).cast("decimal(38,0)").alias("s_diag"),
+    )
+    return scalars.crossJoin(rc).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("s_diag").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("po"),
+        F.round(
+            F.col("s_rc").cast("double")
+            / (F.col("n_docs") * F.col("n_docs")).cast("double"),
+            6,
+        ).alias("pe"),
+        F.round(
+            (F.col("n_docs") * F.col("s_diag") - F.col("s_rc")).cast("double")
+            / (F.col("n_docs") * F.col("n_docs") - F.col("s_rc")).cast(
+                "double"
+            ),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def _cohens_kappa_oracle() -> str:
+    return f"""
+WITH pred AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_q._LANG_PRED_SQL} AS lang_pred
+  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)),
+cells AS (
+  SELECT d.lang, pred.lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+  GROUP BY d.lang, pred.lang_pred),
+rows_ AS (SELECT lang, sum(n) AS r FROM cells GROUP BY lang),
+cols_ AS (SELECT lang_pred, sum(n) AS c FROM cells GROUP BY lang_pred),
+rc AS (
+  SELECT sum(CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS s_rc
+  FROM rows_ JOIN cols_ ON rows_.lang = cols_.lang_pred),
+scalars AS (
+  SELECT CAST(sum(n) AS DECIMAL(38,0)) AS n_docs,
+         CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+              AS DECIMAL(38,0)) AS s_diag
+  FROM cells)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(s_diag AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS po,
+       round(CAST(s_rc AS DOUBLE)
+             / CAST(n_docs * n_docs AS DOUBLE), 6) AS pe,
+       round(CAST(n_docs * s_diag - s_rc AS DOUBLE)
+             / CAST(n_docs * n_docs - s_rc AS DOUBLE), 6) AS kappa
+FROM scalars, rc
+"""
+
+
+ORACLE_COHENS_KAPPA = _cohens_kappa_oracle()
+
+
 EVALHARNESS_QUERIES = {
     "auc_rank": q_auc_rank,
     "calibration_curve": q_calibration_curve,
@@ -713,6 +815,7 @@ EVALHARNESS_QUERIES = {
     "ndcg_eval": q_ndcg_eval,
     "bootstrap_ci": q_bootstrap_ci,
     "langid_confusion": q_langid_confusion,
+    "cohens_kappa": q_cohens_kappa,
 }
 
 EVALHARNESS_ORACLES = {
@@ -722,6 +825,7 @@ EVALHARNESS_ORACLES = {
     "ndcg_eval": ORACLE_NDCG_EVAL,
     "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
     "langid_confusion": ORACLE_LANGID_CONFUSION,
+    "cohens_kappa": ORACLE_COHENS_KAPPA,
 }
 
 _q.QUERIES.update(EVALHARNESS_QUERIES)

@@ -535,12 +535,122 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# gini_concentration
+# ---------------------------------------------------------------------------
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of the token-frequency distribution
+    — the inequality summary of ``token_entropy``'s diagnostics (a
+    source where a handful of tokens carry most of the mass is
+    templated/boilerplate; diverse prose sits lower).
+
+    Classic sorted-vector Gini, G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)
+    with x ascending and i = 1..n — computed WITHOUT ranking the
+    vocabulary: tokens are compressed to the (source, count) histogram
+    first, and within a tie block every ordering yields the same
+    Σ i·x_(i) (all tied x equal), so the block contributes
+    c · (m·offset + m(m+1)/2) where m is the block size and offset the
+    prefix count of smaller counts.  The only window is the per-source
+    prefix sum over DISTINCT COUNT VALUES — the compressed domain
+    (≪ vocabulary), the ``group_quantiles_dist`` two-pass histogram
+    trick.  All terms are exact integers promoted to DECIMAL(38,0);
+    G is one IEEE division rounded to 6.
+
+    Scale: two-level partial agg (source, tok) → (source, cnt), a
+    bounded compressed-domain window, a bounded-key final agg.  The
+    vocabulary itself is never sorted, never windowed, never
+    collected.
+    """
+    tf = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = tf.groupBy("source", "cnt").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = hist.select(
+        "source",
+        F.col("cnt").cast("decimal(38,0)").alias("c"),
+        F.col("m").cast("decimal(38,0)").alias("m"),
+        F.coalesce(F.sum("m").over(w), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("off"),
+    )
+    agg = blocks.groupBy("source").agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("c") * F.col("m")).alias("sx"),
+        # six2 = 2·Σ i·x_(i): the identity is premultiplied by 2 so no
+        # division (dialect-divergent on DECIMAL) appears anywhere
+        F.sum(
+            F.col("c")
+            * (
+                F.lit(2) * F.col("m") * F.col("off")
+                + F.col("m") * (F.col("m") + 1)
+            )
+        ).alias("six2"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens_distinct"),
+        F.col("sx").cast("bigint").alias("total_count"),
+        F.round(
+            (F.col("six2") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI_CONCENTRATION = """
+WITH tf AS (
+  SELECT source, tok, count(*) AS cnt
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY source, tok),
+hist AS (
+  SELECT source, cnt, CAST(count(*) AS BIGINT) AS m
+  FROM tf GROUP BY source, cnt),
+blocks AS (
+  SELECT source,
+         CAST(cnt AS DECIMAL(38,0)) AS c,
+         CAST(m AS DECIMAL(38,0)) AS m,
+         CAST(coalesce(sum(m) OVER (PARTITION BY source ORDER BY cnt
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+              AS DECIMAL(38,0)) AS off
+  FROM hist),
+agg AS (
+  SELECT source,
+         sum(m) AS n,
+         sum(c * m) AS sx,
+         sum(c * (2 * m * off + m * (m + 1))) AS six2
+  FROM blocks GROUP BY source)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens_distinct,
+       CAST(sx AS BIGINT) AS total_count,
+       round(CAST(six2 - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
 QUALITY_QUERIES = {
     "gopher_rules": q_gopher_rules,
     "ngram_diversity": q_ngram_diversity,
     "discounted_returns": q_discounted_returns,
     "token_entropy": q_token_entropy,
     "zipf_fit": q_zipf_fit,
+    "gini_concentration": q_gini_concentration,
 }
 
 QUALITY_ORACLES = {
@@ -549,6 +659,7 @@ QUALITY_ORACLES = {
     "discounted_returns": ORACLE_DISCOUNTED_RETURNS,
     "token_entropy": ORACLE_TOKEN_ENTROPY,
     "zipf_fit": ORACLE_ZIPF_FIT,
+    "gini_concentration": ORACLE_GINI_CONCENTRATION,
 }
 
 _q.QUERIES.update(QUALITY_QUERIES)

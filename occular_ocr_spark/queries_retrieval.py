@@ -401,14 +401,153 @@ FROM pos JOIN neg USING (tok, r)
 """
 
 
+# ---------------------------------------------------------------------------
+# rrf_fusion
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the canonical smoothing constant (Cormack et al. 2009)
+_RRF_DEPTH = 20  # per-ranker list depth entering the fusion
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    rankers over the same query — the standard zero-training ensemble
+    that merges lexical retrieval systems before a reranker sees them:
+
+    * ranker A — Okapi BM25 over the ``_BM25_QUERY_TERMS`` highest-df
+      tokens (the exact ``bm25_topk`` scoring: rounded-4 score,
+      doc_id tie-break);
+    * ranker B — raw term-frequency sum over the SAME query terms
+      (exact BIGINT, doc_id tie-break) — the boolean-ish baseline RRF
+      exists to absorb.
+
+    fused(d) = Σ_lists 1/(C + rank_d); a doc missing from a list
+    contributes 0 (top-``_RRF_DEPTH`` fusion).  Each reciprocal is a
+    single IEEE division of exact integers and the fusion is one
+    fixed-order two-term sum, so the fused score is bit-identical on
+    both engines with NO rounding tricks needed; rounding to 6 is
+    cosmetic.
+
+    Scale: both rankers share ONE postings lineage (the bm25_topk
+    cached build); each ranking ends in TakeOrdered(depth), the
+    fusion is a full outer join of two depth-row lists — driver-free,
+    broadcast-sized.  At 100 TB per-query work is index-pruned to the
+    query terms' postings exactly like bm25_topk.
+    """
+    postings = _q._persist_tracked(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = dfc.orderBy(F.col("df").desc(), "tok").limit(_BM25_QUERY_TERMS)
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = doclen.groupBy().agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("nd")
+    )
+    qpost = postings.join(F.broadcast(qterms), "tok")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    top_a = (
+        qpost.join(doclen, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * norm), 4).alias("score_a"))
+        .orderBy(F.col("score_a").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    top_b = (
+        qpost.groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("score_b"))
+        .orderBy(F.col("score_b").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    wa = Window.orderBy(F.col("score_a").desc(), "doc_id")
+    wb = Window.orderBy(F.col("score_b").desc(), "doc_id")
+    ra = top_a.select(
+        "doc_id", F.row_number().over(wa).cast("int").alias("r_bm25")
+    )
+    rb = top_b.select(
+        "doc_id", F.row_number().over(wb).cast("int").alias("r_tf")
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "r_bm25",
+        "r_tf",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_bm25")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_tf")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused
+
+
+ORACLE_RRF_FUSION = f"""
+WITH postings AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+q AS (SELECT tok, df FROM dfs ORDER BY df DESC, tok LIMIT {_BM25_QUERY_TERMS}),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+tot AS (SELECT avg(dl) AS avgdl, count(*) AS nd FROM dl),
+top_a AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1 + (tot.nd - q.df + 0.5) / (q.df + 0.5))
+           * p.tf * ({_BM25_K1} + 1)
+           / (p.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                   + {_BM25_B} * dl.dl / tot.avgdl))
+         ), 4) AS score_a
+  FROM postings p
+  JOIN q USING (tok)
+  JOIN dl USING (doc_id), tot
+  GROUP BY p.doc_id
+  ORDER BY score_a DESC, p.doc_id LIMIT {_RRF_DEPTH}),
+top_b AS (
+  SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS score_b
+  FROM postings p JOIN q USING (tok)
+  GROUP BY p.doc_id
+  ORDER BY score_b DESC, p.doc_id LIMIT {_RRF_DEPTH}),
+ra AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_a DESC, doc_id)
+                      AS INT) AS r_bm25
+  FROM top_a),
+rb AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_b DESC, doc_id)
+                      AS INT) AS r_tf
+  FROM top_b)
+SELECT CAST(coalesce(ra.doc_id, rb.doc_id) AS BIGINT) AS doc_id,
+       r_bm25, r_tf,
+       round(coalesce(1.0 / ({_RRF_C} + r_bm25), 0.0)
+             + coalesce(1.0 / ({_RRF_C} + r_tf), 0.0), 6) AS rrf_score
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+"""
+
+
 RETRIEVAL_QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
     "url_canonicalize": q_url_canonicalize,
     "hard_negative_mining": q_hard_negative_mining,
 }
 
 RETRIEVAL_ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
+    "rrf_fusion": ORACLE_RRF_FUSION,
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
 }

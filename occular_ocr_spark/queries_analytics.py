@@ -831,6 +831,121 @@ JOIN g ON g.g = ((2 * src.r - 1) * n.n + 2 * src.n_s - 1) // (2 * src.n_s)
 """
 
 
+# ---------------------------------------------------------------------------
+# attribution_last_touch — conversion attribution over the event stream
+# ---------------------------------------------------------------------------
+
+_ATTR_TOUCHES = ("click", "view")
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day lookback, microseconds
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each ``purchase`` is credited
+    to the user's most recent preceding ``click``/``view`` within a
+    7-day lookback; purchases with no in-window touch credit
+    ``'none'`` — the rollup every growth dashboard starts from (and
+    the event-stream sibling of ``sessionize``).
+
+    The carried-forward touch is ``last(touch, ignorenulls) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING)`` — touch type and touch time null out together on
+    non-touch rows, so the two carries stay consistent; event_id
+    breaks timestamp ties identically on both engines.  The lookback
+    compares exact microsecond integers (``unix_micros`` /
+    ``epoch_us``); purchase values roll up in half-up-rounded integer
+    cents, so no float ever accumulates.
+
+    Scale: ONE shuffle on user_id (per-user activity is bounded — the
+    sessionize contract), then a bounded-key partial agg to ≤ 3 rows.
+    The event table is scanned once; nothing is collected.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).where(F.col("event_type").isin(*_ATTR_TOUCHES, "purchase"))
+    is_touch = F.col("event_type").isin(*_ATTR_TOUCHES)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(
+            F.when(is_touch, F.unix_micros(F.col("ts").cast("timestamp"))),
+            ignorenulls=True
+        )
+        .over(w)
+        .alias("touch_us"),
+    )
+    conv = carried.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_us").isNotNull()
+            & (F.col("us") - F.col("touch_us") <= _ATTR_WINDOW_US),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("touch_type"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    agg = conv.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+    )
+    tot = agg.groupBy().agg(F.sum("n_conversions").alias("n_tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "touch_type",
+        "n_conversions",
+        "value_cents",
+        # house half-up integer share in micro-units
+        (
+            F.expr("(2000000 * n_conversions + n_tot) DIV (2 * n_tot)")
+            / 1000000.0
+        ).alias("share"),
+    )
+
+
+_ATTR_TOUCH_SQL = "('" + "', '".join(_ATTR_TOUCHES) + "')"
+
+ORACLE_ATTRIBUTION_LAST_TOUCH = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value
+  FROM events
+  WHERE event_type IN {_ATTR_TOUCH_SQL} OR event_type = 'purchase'),
+carried AS (
+  SELECT event_type, value, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type IN {_ATTR_TOUCH_SQL}
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS touch_type,
+         last_value(CASE WHEN event_type IN {_ATTR_TOUCH_SQL}
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS touch_us
+  FROM ev),
+conv AS (
+  SELECT CASE WHEN touch_us IS NOT NULL
+                   AND us - touch_us <= {_ATTR_WINDOW_US}
+              THEN touch_type ELSE 'none' END AS touch_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM carried WHERE event_type = 'purchase'),
+agg AS (
+  SELECT touch_type,
+         CAST(count(*) AS BIGINT) AS n_conversions,
+         CAST(sum(cents) AS BIGINT) AS value_cents
+  FROM conv GROUP BY touch_type),
+tot AS (SELECT sum(n_conversions) AS n_tot FROM agg)
+SELECT touch_type, n_conversions, value_cents,
+       ((2000000 * n_conversions + n_tot) // (2 * n_tot)) / 1000000.0
+         AS share
+FROM agg, tot
+"""
+
+
 ANALYTICS_QUERIES = {
     "assoc_rules": q_assoc_rules,
     "ts_gapfill": q_ts_gapfill,
@@ -840,6 +955,7 @@ ANALYTICS_QUERIES = {
     "jaccard_prefix_filter": q_jaccard_prefix_filter,
     "fuzzy_join_del1": q_fuzzy_join_del1,
     "quantile_normalize": q_quantile_normalize,
+    "attribution_last_touch": q_attribution_last_touch,
 }
 
 ANALYTICS_ORACLES = {
@@ -851,6 +967,7 @@ ANALYTICS_ORACLES = {
     "jaccard_prefix_filter": ORACLE_JACCARD_PREFIX_FILTER,
     "fuzzy_join_del1": ORACLE_FUZZY_JOIN_DEL1,
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
 }
 
 _q.QUERIES.update(ANALYTICS_QUERIES)

@@ -1362,6 +1362,94 @@ SELECT * FROM (
 # registration
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# autocorr_daily — sample autocorrelation of the daily event count
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 3
+
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (lags 1..3) of the daily event count —
+    the seasonality/persistence diagnostic that complements
+    ``cusum_drift`` (sustained shift) and ``mann_kendall`` (monotone
+    trend): a weekly-periodic ingest shows up as an acf spike, an
+    i.i.d. one decays to noise.
+
+    Exactness: with x_t the integer daily counts, n days and S = Σx,
+    the mean-centered products are scaled by n —
+
+        acf_k = Σ (n·x_t − S)(n·x_{t+k} − S) / Σ (n·x_t − S)²
+
+    — numerator and denominator are EXACT integers (DECIMAL(38,0)
+    promoted), so each acf is a single IEEE division rounded to 6.
+    Pairs are calendar-adjacent (t+k literal days apart); a missing
+    day breaks its pairs on both engines identically.
+
+    Scale: the corpus collapses to per-day partial aggs first; lags
+    replicate the ≤ #days frame 3× map-side, the lag join is
+    day-keyed, and the two scalar aggs are 1-row broadcasts.  Raw
+    events are scanned exactly once.
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    daily = _q._persist_tracked(daily)
+    tot = daily.groupBy().agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("v")
+    )
+    dev = _q._persist_tracked(dev)
+    den = dev.groupBy().agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    lagged = dev.select(
+        "day", F.col("v").alias("va"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+                  ).alias("lag"),
+    ).withColumn("day_b", F.date_add(F.col("day"), F.col("lag")))
+    right = dev.select(F.col("day").alias("day_b"), F.col("v").alias("vb"))
+    pairs = lagged.join(right, "day_b")
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("va") * F.col("vb")).alias("num"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("acf"),
+    )
+
+
+ORACLE_AUTOCORR_DAILY = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS s
+  FROM daily),
+dev AS (SELECT day, n * x - s AS v FROM daily, tot),
+den AS (SELECT sum(v * v) AS den FROM dev),
+lags AS (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS INTEGER) AS lag),
+pairs AS (
+  SELECT l.lag, a.v AS va, b.v AS vb
+  FROM dev a CROSS JOIN lags l
+  JOIN dev b ON b.day = a.day + l.lag),
+num AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, sum(va * vb) AS num
+  FROM pairs GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+FROM num, den
+"""
+
+
 DRIFT_QUERIES = {
     "psi_drift": q_psi_drift,
     "ks_statistic": q_ks_statistic,
@@ -1378,6 +1466,7 @@ DRIFT_QUERIES = {
     "vocab_overlap": q_vocab_overlap,
     "wilson_intervals": q_wilson_intervals,
     "fighting_words": q_fighting_words,
+    "autocorr_daily": q_autocorr_daily,
 }
 
 DRIFT_ORACLES = {
@@ -1396,6 +1485,7 @@ DRIFT_ORACLES = {
     "vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "wilson_intervals": ORACLE_WILSON_INTERVALS,
     "fighting_words": ORACLE_FIGHTING_WORDS,
+    "autocorr_daily": ORACLE_AUTOCORR_DAILY,
 }
 
 _q.QUERIES.update(DRIFT_QUERIES)

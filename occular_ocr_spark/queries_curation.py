@@ -644,6 +644,158 @@ FROM sizes JOIN div USING (lang, len_bucket)
 """
 
 
+# ---------------------------------------------------------------------------
+# dp_noisy_counts — Laplace-mechanism counts with portable seeded noise
+# ---------------------------------------------------------------------------
+
+_DP_EPS_X10 = 10  # epsilon = 1.0, carried as an exact integer literal
+
+
+def _dp_hash16(dialect: str) -> str:
+    """First 16 bits of md5(source || ':dp') via hex-alphabet string
+    arithmetic — the portable hash family of bootstrap_ci /
+    mix_apply_sample, keyed on the group so each count draws an
+    independent noise variate."""
+
+    def hexv(j: int) -> str:
+        return (
+            f"(instr('0123456789abcdef', substr(md5("
+            f"source || ':dp'"
+            f"), {j}, 1)) - 1)"
+        )
+
+    return f"((({hexv(1)} * 16 + {hexv(2)}) * 16 + {hexv(3)}) * 16 + {hexv(4)})"
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source document counts: the Laplace
+    mechanism at sensitivity 1, epsilon = 1.0 — the release format a
+    privacy-budgeted corpus report uses for group-by counts.  Noise is
+    inverse-CDF Laplace driven by the house PORTABLE HASH (first 16
+    md5 bits of the group key), so the draw is deterministic,
+    reproducible, and identical on both engines:
+
+        u = (h + 1/2) / 65536 ∈ (0, 1);  v = u − 1/2
+        noise = −(1/eps) · sign(v) · ln(1 − 2|v|)
+
+    The ln argument is an exact dyadic rational from an exact integer,
+    the surface rounds to 6 (the house ln-determinism contract shared
+    with token_entropy / zipf_fit).  The gate surface ALSO carries the
+    true count to pin the mechanism end-to-end; a production release
+    would emit only the noisy column — see the docstring's
+    pin-vs-release note.
+
+    Scale: one bounded-key partial agg; the noise is a map-side
+    expression on the ≤ |sources| aggregate rows.  Zero extra passes,
+    zero collects, and the privacy budget is per-release, not
+    per-partition (noise attaches AFTER the global count).
+    """
+    eps = _DP_EPS_X10 / 10.0
+    agg = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    h = F.expr(_dp_hash16("spark"))
+    u = (h + F.lit(0.5)) / F.lit(65536.0)
+    v = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / eps)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return agg.select(
+        "source",
+        "n_true",
+        F.lit(eps).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+    )
+
+
+ORACLE_DP_NOISY_COUNTS = f"""
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY source),
+noised AS (
+  SELECT source, n_true,
+         (({_dp_hash16("duckdb")}) + 0.5) / 65536.0 - 0.5 AS v
+  FROM agg)
+SELECT source, n_true,
+       CAST({_DP_EPS_X10 / 10.0} AS DOUBLE) AS epsilon,
+       round(-(1.0 / {_DP_EPS_X10 / 10.0}) * sign(v)
+             * ln(1.0 - 2.0 * abs(v)), 6) AS noise,
+       round(n_true + (-(1.0 / {_DP_EPS_X10 / 10.0}) * sign(v)
+                       * ln(1.0 - 2.0 * abs(v))), 6) AS n_noisy
+FROM noised
+"""
+
+
+# ---------------------------------------------------------------------------
+# kwic_snippets — keyword-in-context extraction
+# ---------------------------------------------------------------------------
+
+_KWIC_TERMS = ("spark", "shuffle", "broadcast")
+_KWIC_RADIUS = 24  # context characters on each side of the hit
+
+
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: for each watchlist term, the
+    ±24-char window around its FIRST occurrence per document — the
+    human-review surface a curation console shows next to every
+    blocklist / contamination hit (``domain_blocklist`` flags the doc;
+    this shows the reviewer WHY).
+
+    Pure 1-indexed string arithmetic (locate / substr / greatest) with
+    identical semantics in both dialects; the snippet start clamps at
+    1 and substr past end-of-string truncates the same way on both
+    engines.  First-occurrence only, so output is ≤ |docs|·|terms|.
+
+    Scale: 100% map-side — scan, per-term locate, filter hits; no
+    shuffle at all (the watchlist is a constant expression, not even a
+    broadcast).  At 100 TB this is the embarrassingly-parallel grep.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    hits = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(*[F.lit(t) for t in _KWIC_TERMS])
+        ).alias("term"),
+    ).withColumn("pos", F.expr("locate(term, text)"))
+    return (
+        hits.where(F.col("pos") > 0)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "term",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr(
+                f"substr(text, greatest(1, pos - {_KWIC_RADIUS}),"
+                f" pos - greatest(1, pos - {_KWIC_RADIUS})"
+                f" + length(term) + {_KWIC_RADIUS})"
+            ).alias("snippet"),
+        )
+    )
+
+
+_KWIC_TERMS_SQL = "('" + "', '".join(_KWIC_TERMS) + "')"
+
+ORACLE_KWIC_SNIPPETS = f"""
+WITH hits AS (
+  SELECT doc_id, coalesce(text, '') AS text, term,
+         instr(coalesce(text, ''), term) AS pos
+  FROM documents
+  CROSS JOIN (SELECT unnest(ARRAY{list(_KWIC_TERMS)}) AS term))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(pos AS INT) AS pos,
+       substr(text, greatest(1, pos - {_KWIC_RADIUS}),
+              pos - greatest(1, pos - {_KWIC_RADIUS})
+              + length(term) + {_KWIC_RADIUS}) AS snippet
+FROM hits WHERE pos > 0
+"""
+
+
 CURATION_QUERIES = {
     "pareto_frontier": q_pareto_frontier,
     "dup_span_report": q_dup_span_report,
@@ -652,6 +804,8 @@ CURATION_QUERIES = {
     "quality_funnel": q_quality_funnel,
     "cdc_chunks": q_cdc_chunks,
     "k_anonymity": q_k_anonymity,
+    "dp_noisy_counts": q_dp_noisy_counts,
+    "kwic_snippets": q_kwic_snippets,
 }
 
 CURATION_ORACLES = {
@@ -662,6 +816,8 @@ CURATION_ORACLES = {
     "quality_funnel": ORACLE_QUALITY_FUNNEL,
     "cdc_chunks": _oracle_cdc(),
     "k_anonymity": ORACLE_K_ANONYMITY,
+    "dp_noisy_counts": ORACLE_DP_NOISY_COUNTS,
+    "kwic_snippets": ORACLE_KWIC_SNIPPETS,
 }
 
 _q.QUERIES.update(CURATION_QUERIES)

@@ -673,6 +673,128 @@ FROM gapped GROUP BY conv_id, tool
 """
 
 
+# ---------------------------------------------------------------------------
+# turn_take_entropy — role-transition entropy per conversation
+# ---------------------------------------------------------------------------
+
+
+def q_turn_take_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Shannon entropy of the role-transition bigram
+    distribution (user→assistant, assistant→assistant, ...) — the
+    turn-taking balance signal: a healthy dialogue alternates (high
+    entropy over its transition types), a monologue or a stuck agent
+    collapses to one repeated transition (entropy → 0).
+
+    Entropy uses the exact-integer form of ``token_entropy``:
+    H = ln N − (Σ c·ln c) / N with every count a BIGINT and each ln
+    taken of an exact integer, rounded at the surface only.  The
+    transition alphabet is ≤ |roles|² per conversation, so the inner
+    agg is bounded-key.
+
+    Scale: one shuffle on conv_id for the lead() window (bounded
+    turns per conversation — the reading_order contract), then two
+    bounded-key partial aggs.  Nothing global, nothing collected.
+    """
+    t = _turns(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    trans = (
+        t.select("conv_id", "turn_idx", "role")
+        .withColumn("to_role", F.lead("role").over(w))
+        .where(F.col("to_role").isNotNull())
+        .groupBy("conv_id", "role", "to_role")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    agg = trans.groupBy("conv_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("bigint").alias("n_patterns"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clnc"),
+    )
+    return agg.select(
+        "conv_id",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        "n_patterns",
+        F.round(
+            F.log(F.col("n")) - F.col("clnc") / F.col("n"), 6
+        ).alias("entropy"),
+    )
+
+
+ORACLE_TURN_TAKE_ENTROPY = f"""
+WITH t AS ({_ORACLE_TURNS}),
+trans AS (
+  SELECT conv_id, role, to_role, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT conv_id, role,
+           lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS to_role
+    FROM t)
+  WHERE to_role IS NOT NULL
+  GROUP BY conv_id, role, to_role),
+agg AS (
+  SELECT conv_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_patterns,
+         sum(c * ln(c)) AS clnc
+  FROM trans GROUP BY conv_id)
+SELECT conv_id, CAST(n AS BIGINT) AS n_transitions, n_patterns,
+       round(ln(n) - clnc / n, 6) AS entropy
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# tool_call_depth — consecutive-tool-turn burst profile per conversation
+# ---------------------------------------------------------------------------
+
+
+def q_tool_call_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation tool-burst profile: number of tool-using
+    turns, number of BURSTS (maximal runs of consecutive tool turns),
+    and the maximum burst depth — the agent-behavior signal that
+    separates one-shot tool use from deep tool chains (the run-length
+    sibling of ``agent_loop_detect``'s revisit profile).
+
+    Runs use the gaps-and-islands identity: within a conversation's
+    tool turns ordered by turn_idx, ``turn_idx − row_number()`` is
+    constant exactly along a consecutive run, so bursts fall out of
+    one window + one groupBy with NO iterative logic — all integers.
+
+    Scale: one shuffle on conv_id (bounded turns per conversation),
+    bounded-key aggs after; output ≤ |conversations with tools| rows.
+    """
+    t = _turns(spark, sf_dir).where(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    runs = (
+        t.select("conv_id", "turn_idx")
+        .withColumn(
+            "island", F.col("turn_idx") - F.row_number().over(w)
+        )
+        .groupBy("conv_id", "island")
+        .agg(F.count("*").cast("bigint").alias("depth"))
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("depth").cast("bigint").alias("n_tool_turns"),
+        F.count("*").cast("bigint").alias("n_bursts"),
+        F.max("depth").cast("bigint").alias("max_depth"),
+    )
+
+
+ORACLE_TOOL_CALL_DEPTH = f"""
+WITH t AS ({_ORACLE_TURNS_TOOL}),
+runs AS (
+  SELECT conv_id, island, CAST(count(*) AS BIGINT) AS depth
+  FROM (
+    SELECT conv_id,
+           turn_idx - row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS island
+    FROM t WHERE tool IS NOT NULL)
+  GROUP BY conv_id, island)
+SELECT conv_id,
+       CAST(sum(depth) AS BIGINT) AS n_tool_turns,
+       CAST(count(*) AS BIGINT) AS n_bursts,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM runs GROUP BY conv_id
+"""
+
+
 TRANSCRIPT_QUERIES = {
     "merge_adjacent_turns": q_merge_adjacent_turns,
     "turn_structure_qa": q_turn_structure_qa,
@@ -683,6 +805,8 @@ TRANSCRIPT_QUERIES = {
     "tool_transitions": q_tool_transitions,
     "conversation_dedup": q_conversation_dedup,
     "agent_loop_detect": q_agent_loop_detect,
+    "turn_take_entropy": q_turn_take_entropy,
+    "tool_call_depth": q_tool_call_depth,
 }
 
 TRANSCRIPT_ORACLES = {
@@ -695,6 +819,8 @@ TRANSCRIPT_ORACLES = {
     "tool_transitions": ORACLE_TOOL_TRANSITIONS,
     "conversation_dedup": ORACLE_CONVERSATION_DEDUP,
     "agent_loop_detect": ORACLE_AGENT_LOOP_DETECT,
+    "turn_take_entropy": ORACLE_TURN_TAKE_ENTROPY,
+    "tool_call_depth": ORACLE_TOOL_CALL_DEPTH,
 }
 
 _q.QUERIES.update(TRANSCRIPT_QUERIES)

@@ -946,6 +946,138 @@ FROM agg, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# containment_join — asymmetric set-containment self-join
+# ---------------------------------------------------------------------------
+
+_CJ_NUM = 4           # containment threshold tau = _CJ_NUM / _CJ_DEN (4/5)
+_CJ_DEN = 5
+_CJ_CAP = 100         # postings-list cap per blocking token (hot-key guard)
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC set-containment self-join: directed pairs (a, b),
+    a ≠ b, with C(a→b) = |S(a) ∩ S(b)| / |S(a)| >= 4/5 over DISTINCT
+    3-WORD SHINGLES (the minhash family's blocking unit — unigrams on
+    a small-vocabulary corpus are all hot and the postings cap would
+    silence the join; shingle space grows with vocab³ so dfs stay low
+    at every SF) — "at least 4/5 of a's shingles appear in b".  This is the
+    quote-inclusion / subset-near-dup detector the symmetric Jaccard
+    entries structurally miss: a short doc embedded in a long one has
+    tiny Jaccard but containment ≈ 1.
+
+    Blocking is the DIRECTIONAL prefix filter: C >= t implies overlap
+    >= ceil(t·|A|), so doc a must share one of its first
+    |A| − ceil(t·|A|) + 1 rarest tokens (global-frequency order,
+    lexical tiebreak) with b — but b contributes ALL its tokens (a
+    superset has no prefix bound), i.e. candidates = prefix(a) ⋈
+    postings(b).  Hot postings lists are capped at ``_CJ_CAP`` (the
+    LSH band-cap discipline) and the oracle mirrors the cap, so the
+    gate pins the capped semantics; prefixes prefer rare tokens, so
+    over-cap blocking tokens are rare by construction.
+
+    Thresholds are exact integers (ceil(4L/5) = (4L+4) DIV 5;
+    C >= 4/5 <=> 5·o >= 4·|A|), so the pair set is bit-equal across
+    engines; the containment value is one IEEE division rounded at
+    the surface.
+
+    Scale: same capped-blocking shape as ``jaccard_prefix_filter``
+    (bounded buckets, in-array pair expansion, verify joins on the
+    token table) with the one structural difference — the index side
+    is full postings, which is why the cap matters MORE here and is
+    load-bearing, not cosmetic.
+    """
+    toks = _q._persist_tracked(
+        _q._shingles(spark, sf_dir).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("sh").alias("tok"),
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    wd = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    prefix = (
+        toks.join(freq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("r", F.row_number().over(wd))
+        .where(
+            F.col("r")
+            <= F.col("sz")
+            - F.expr(f"({_CJ_NUM} * sz + {_CJ_DEN - 1}) DIV {_CJ_DEN}")
+            + 1
+        )
+        .select(F.col("doc_id").alias("doc_a"), "tok")
+    )
+    postings = (
+        toks.groupBy("tok")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") <= _CJ_CAP)
+    )
+    cands = (
+        prefix.join(postings, "tok")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    overlap = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("o"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("la"))
+    return (
+        overlap.join(sa, "doc_a")
+        .where(F.lit(_CJ_DEN) * F.col("o") >= F.lit(_CJ_NUM) * F.col("la"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("o") / F.col("la"), 6).alias("containment"),
+        )
+    )
+
+
+ORACLE_CONTAINMENT_JOIN = f"""
+WITH spl AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS l
+  FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id,
+         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+        FROM spl WHERE len(l) >= 3)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+pref AS (
+  SELECT doc_id AS doc_a, tok FROM (
+    SELECT t.doc_id, t.tok, s.sz,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY f.tf, t.tok) AS r
+    FROM toks t JOIN freq f ON f.tok = t.tok
+    JOIN sizes s ON s.doc_id = t.doc_id)
+  WHERE r <= sz - (({_CJ_NUM} * sz + {_CJ_DEN - 1}) // {_CJ_DEN}) + 1),
+capped AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM toks)
+  WHERE df <= {_CJ_CAP}),
+cands AS (
+  SELECT DISTINCT p.doc_a, c.doc_id AS doc_b
+  FROM pref p JOIN capped c ON c.tok = p.tok AND c.doc_id <> p.doc_a),
+ov AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS o
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2)
+SELECT ov.doc_a, ov.doc_b,
+       round(CAST(ov.o AS DOUBLE) / sa.sz, 6) AS containment
+FROM ov JOIN sizes sa ON sa.doc_id = ov.doc_a
+WHERE {_CJ_DEN} * ov.o >= {_CJ_NUM} * sa.sz
+"""
+
+
 ANALYTICS_QUERIES = {
     "assoc_rules": q_assoc_rules,
     "ts_gapfill": q_ts_gapfill,
@@ -956,6 +1088,7 @@ ANALYTICS_QUERIES = {
     "fuzzy_join_del1": q_fuzzy_join_del1,
     "quantile_normalize": q_quantile_normalize,
     "attribution_last_touch": q_attribution_last_touch,
+    "containment_join": q_containment_join,
 }
 
 ANALYTICS_ORACLES = {
@@ -968,6 +1101,7 @@ ANALYTICS_ORACLES = {
     "fuzzy_join_del1": ORACLE_FUZZY_JOIN_DEL1,
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
+    "containment_join": ORACLE_CONTAINMENT_JOIN,
 }
 
 _q.QUERIES.update(ANALYTICS_QUERIES)

@@ -1742,8 +1742,154 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# bloom_probe — Bloom-filter membership sketch: build + probe + audit
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 32   # 32 words x 32 bits = m = 1024 bits
+_BLOOM_BITS = 32
+_BLOOM_K = 3        # hash functions
+_BLOOM_MEMBER_LANG = "de"  # the "blocked" member set
+
+
+def _bloom_positions(dialect: str) -> list:
+    """k = 3 independent 10-bit positions from md5(doc_id ':b' i) via
+    the portable hex-alphabet hash (the bootstrap_ci family), mod
+    m = 1024."""
+    strtype = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def hexv(i: int, j: int) -> str:
+        return (
+            f"(instr('0123456789abcdef', substr(md5("
+            f"CAST(doc_id AS {strtype}) || ':b{i}'"
+            f"), {j}, 1)) - 1)"
+        )
+
+    return [
+        f"(((({hexv(i, 1)} * 16 + {hexv(i, 2)}) * 16 + {hexv(i, 3)})"
+        f" * 16 + {hexv(i, 4)}) % {_BLOOM_WORDS * _BLOOM_BITS})"
+        for i in range(_BLOOM_K)
+    ]
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: BUILD a 1024-bit / k=3 Bloom
+    filter over the blocked member set (documents with lang = 'de')
+    as a mergeable bit_or sketch, PROBE every document against it, and
+    report the (is_member, bloom_pass) confusion cells — the
+    seen-before / blocklist test every ingest edge runs before paying
+    for an exact anti-join, with the false-positive mass measured
+    instead of assumed.
+
+    The filter state is 32 x 32-bit words (BIGINT-safe masks, no sign
+    bit in play), built by a bounded-key ``bit_or`` partial agg — the
+    mergeable-sketch property ``sketch_rollup`` pins for HLL holds
+    here by construction (bit_or is associative/commutative).  Hash
+    positions come from the portable md5 hex-alphabet hash, so build
+    and probe are bit-identical on both engines; no false negative is
+    possible and the test suite asserts that cell is empty.
+
+    Scale: build = map-side explode of k positions -> 32-row bit_or
+    agg; probe = k-position explode joined to the 32-row BROADCAST
+    filter, then a per-doc bool_and and a 4-cell rollup.  The member
+    table is never joined against the probe table — that is the whole
+    point of carrying the sketch.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+    pos_exprs = _bloom_positions("spark")
+    pos_array = "array(" + ", ".join(pos_exprs) + ")"
+    members = d.where(F.col("lang") == _BLOOM_MEMBER_LANG)
+    bloom = (
+        members.select(F.explode(F.expr(pos_array)).alias("p"))
+        .select(
+            (F.col("p") / _BLOOM_BITS).cast("int").alias("word"),
+            # shiftleft() takes a literal count in the Python API; the
+            # SQL form accepts the column expression
+            F.expr(f"CAST(shiftleft(1, p % {_BLOOM_BITS}) AS BIGINT)")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probes = d.select(
+        "doc_id",
+        (F.col("lang") == _BLOOM_MEMBER_LANG).alias("is_member"),
+        F.explode(F.expr(pos_array)).alias("p"),
+    ).select(
+        "doc_id",
+        "is_member",
+        (F.col("p") / _BLOOM_BITS).cast("int").alias("word"),
+        F.expr(f"CAST(shiftleft(1, p % {_BLOOM_BITS}) AS BIGINT)")
+        .alias("mask"),
+    )
+    checked = probes.join(F.broadcast(bloom), "word", "left").select(
+        "doc_id",
+        "is_member",
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        ).alias("hit"),
+    )
+    per_doc = checked.groupBy("doc_id", "is_member").agg(
+        F.min(F.col("hit").cast("int")).alias("all_hit")
+    )
+    return (
+        per_doc.groupBy("is_member")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("all_hit").cast("bigint").alias("n_bloom_pass"),
+        )
+        .select(
+            "is_member",
+            "n_docs",
+            "n_bloom_pass",
+            (F.col("n_docs") - F.col("n_bloom_pass")).alias("n_bloom_reject"),
+        )
+    )
+
+
+def _oracle_bloom_probe() -> str:
+    pos = _bloom_positions("duckdb")
+    pos_rows = " UNION ALL ".join(
+        f"SELECT doc_id, lang, ({p}) AS p FROM d" for p in pos
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents),
+pos AS ({pos_rows}),
+bloom AS (
+  SELECT CAST(p // {_BLOOM_BITS} AS INT) AS word,
+         bit_or(CAST((1 << (p % {_BLOOM_BITS})) AS BIGINT)) AS bits
+  FROM pos WHERE lang = '{_BLOOM_MEMBER_LANG}'
+  GROUP BY 1),
+probes AS (
+  SELECT doc_id, lang = '{_BLOOM_MEMBER_LANG}' AS is_member,
+         CAST(p // {_BLOOM_BITS} AS INT) AS word,
+         CAST((1 << (p % {_BLOOM_BITS})) AS BIGINT) AS mask
+  FROM pos),
+checked AS (
+  SELECT doc_id, is_member,
+         (b.bits IS NOT NULL AND (b.bits & mask) = mask) AS hit
+  FROM probes LEFT JOIN bloom b USING (word)),
+per_doc AS (
+  SELECT doc_id, is_member, min(CAST(hit AS INT)) AS all_hit
+  FROM checked GROUP BY 1, 2)
+SELECT is_member,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(all_hit) AS BIGINT) AS n_bloom_pass,
+       CAST(count(*) - sum(all_hit) AS BIGINT) AS n_bloom_reject
+FROM per_doc GROUP BY is_member
+"""
+
+
+ORACLE_BLOOM_PROBE = _oracle_bloom_probe()
+
+
 SCALE_QUERIES = {
     "skew_join_salted": q_skew_join_salted,
+    "bloom_probe": q_bloom_probe,
     "sql_udf_extract": q_sql_udf_extract,
     "incremental_extract": q_incremental_extract,
     "snapshot_diff": q_snapshot_diff,
@@ -1788,6 +1934,7 @@ SCALE_ORACLES = {
     "pii_redact": ORACLE_PII_REDACT,
     "profile_table": ORACLE_PROFILE_TABLE,
     "zorder_cluster": _oracle_zorder(),
+    "bloom_probe": ORACLE_BLOOM_PROBE,
 }
 
 _q.QUERIES.update(SCALE_QUERIES)

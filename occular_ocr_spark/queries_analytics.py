@@ -1078,6 +1078,127 @@ WHERE {_CJ_DEN} * ov.o >= {_CJ_NUM} * sa.sz
 """
 
 
+# ---------------------------------------------------------------------------
+# event_markov — first-order event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+def q_event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type, to_type) pair, the count of consecutive
+    same-user transitions and the MLE row probability — the behavior
+    model behind next-action prediction and anomaly scoring (an
+    error→error loop shows up as a hot diagonal cell).
+
+    Ordering is (ts, event_id) per user, so timestamp ties cannot
+    reorder across engines; row probabilities use the house half-up
+    integer division in micro-units (the langid_confusion share rule),
+    so every surfaced number is exact.
+
+    Scale: one shuffle on user_id for the lead() window (per-user
+    activity bounded — the sessionize contract), then a bounded-key
+    partial agg over the ≤ |event_types|² cells with row totals as a
+    rollup of the cells, never a second pass.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("to_type")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rowtot = cells.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return cells.join(F.broadcast(rowtot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.expr("(2000000 * n + row_n) DIV (2 * row_n)") / 1000000.0
+        ).alias("p"),
+    )
+
+
+ORACLE_EVENT_MARKOV = """
+WITH trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+cells AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM trans WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type),
+rowtot AS (SELECT from_type, sum(n) AS row_n FROM cells GROUP BY from_type)
+SELECT from_type, to_type, n,
+       ((2000000 * n + row_n) // (2 * row_n)) / 1000000.0 AS p
+FROM cells JOIN rowtot USING (from_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_burstiness — Fano factor of per-user daily activity
+# ---------------------------------------------------------------------------
+
+
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness of daily activity: the Fano factor
+    F = Var(x)/mean(x) over the user's ACTIVE days (population
+    variance; inactive days are not zero-filled — both engines pin
+    the same convention).  F ≈ 1 is Poisson-like usage, F ≫ 1 is
+    bursty (binge sessions), F < 1 is metronomic — the
+    bot-vs-human-cadence feature every abuse model starts with.
+
+    With d active days, S = Σx and Q = Σx² exact integers,
+    F = (d·Q − S²)/(d·S) — numerator and denominator exact
+    (DECIMAL(38,0) promoted), one IEEE division rounded to 6.
+
+    Scale: two-level partial agg (user, day) → user — zero windows,
+    zero joins; output is |users| rows.
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    agg = daily.groupBy("user_id").agg(
+        F.count("*").cast("decimal(38,0)").alias("d"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"),
+    )
+    return agg.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("d").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.round(
+            (F.col("d") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("d") * F.col("s")).cast("double"),
+            6,
+        ).alias("fano"),
+    )
+
+
+ORACLE_USER_BURSTINESS = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS DECIMAL(38,0)) AS d,
+         CAST(sum(x) AS DECIMAL(38,0)) AS s,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS q
+  FROM daily GROUP BY user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(d AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS n_events,
+       round(CAST(d * q - s * s AS DOUBLE) / CAST(d * s AS DOUBLE), 6)
+         AS fano
+FROM agg
+"""
+
+
 ANALYTICS_QUERIES = {
     "assoc_rules": q_assoc_rules,
     "ts_gapfill": q_ts_gapfill,
@@ -1089,6 +1210,8 @@ ANALYTICS_QUERIES = {
     "quantile_normalize": q_quantile_normalize,
     "attribution_last_touch": q_attribution_last_touch,
     "containment_join": q_containment_join,
+    "event_markov": q_event_markov,
+    "user_burstiness": q_user_burstiness,
 }
 
 ANALYTICS_ORACLES = {
@@ -1102,6 +1225,8 @@ ANALYTICS_ORACLES = {
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     "attribution_last_touch": ORACLE_ATTRIBUTION_LAST_TOUCH,
     "containment_join": ORACLE_CONTAINMENT_JOIN,
+    "event_markov": ORACLE_EVENT_MARKOV,
+    "user_burstiness": ORACLE_USER_BURSTINESS,
 }
 
 _q.QUERIES.update(ANALYTICS_QUERIES)

@@ -49,8 +49,11 @@ _GATE_PRIORITY = [
     # streaming (availableNow-drained structured streaming jobs)
     "streaming_extract",
     "streaming_join",
-    # dedup family
-    "dedup_exact",
+    # dedup family — containment_join (round-4 final wave) takes the
+    # dedup_exact slot: exact-hash dedup stays catalog-gated via
+    # check_queries, and the window samples the asymmetric-containment
+    # GRANULARITY the symmetric signatures miss
+    "containment_join",
     "dedup_minhash_lsh",
     "dedup_minhash_verify",
     # C4 line-level dedup (round-4 wave 7) takes the simhash slot —
@@ -76,16 +79,23 @@ _GATE_PRIORITY = [
     "ndcg_eval",
     "label_propagation",
     "kmeans_lloyd",
-    # scale module
+    # scale module — bloom_probe (round-4 final wave) takes the
+    # heavy_hitters_cms slot: the CMS stays catalog-gated, and the
+    # window samples the build+probe membership sketch next to the
+    # mergeable-HLL rollup
     "group_quantiles_dist",
-    "heavy_hitters_cms",
+    "bloom_probe",
     "pagerank_bipartite",
     "sparse_retrieval",
     "profile_table",
     # mining
     "winnow_fingerprints",
     "semdedup",
-    "scd2_dimension",
+    # eval harness — cohens_kappa (round-4 final wave) takes the
+    # scd2_dimension slot (warehouse stays sampled via merge_upsert /
+    # sketch_rollup; scd2 stays catalog-gated) so the window carries a
+    # second eval-family entry next to ndcg_eval
+    "cohens_kappa",
     # analytics
     "jaccard_prefix_filter",
     "fuzzy_join_del1",

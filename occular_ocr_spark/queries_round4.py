@@ -961,6 +961,55 @@ FROM hourly
 """
 
 
+# ---------------------------------------------------------------------------
+# weekday_seasonality — day-of-week volume index
+# ---------------------------------------------------------------------------
+
+
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of event volume: per weekday
+    (0 = Sunday .. 6 = Saturday), the event count and the index
+    7·n/total — 1.0 is a flat week, > 1 an overloaded day — the
+    weekly sibling of ``hourly_profile`` and the seasonality prior
+    ``autocorr_daily`` tests for.
+
+    The index is the house half-up integer division in micro-units
+    (7,000,000·n vs total, cross-multiplied), so every surfaced number
+    is exact; weekday numbering is pinned to the DuckDB 0-based
+    Sunday convention (Spark's 1-based dayofweek minus 1).
+
+    Scale: one scan, one bounded-key (7 rows) partial agg, a 1-row
+    broadcast total.  Nothing else.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofweek(F.to_date("ts")) - 1).cast("int").alias("weekday")
+    )
+    agg = ev.groupBy("weekday").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    tot = agg.groupBy().agg(F.sum("n_events").alias("tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n_events",
+        (
+            F.expr("(14000000 * n_events + tot) DIV (2 * tot)") / 1000000.0
+        ).alias("volume_index"),
+    )
+
+
+ORACLE_WEEKDAY_SEASONALITY = """
+WITH agg AS (
+  SELECT CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS weekday,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(n_events) AS tot FROM agg)
+SELECT weekday, n_events,
+       ((14000000 * n_events + tot) // (2 * tot)) / 1000000.0
+         AS volume_index
+FROM agg, tot
+"""
+
+
 ROUND4_QUERIES = {
     "lsh_recall_eval": q_lsh_recall_eval,
     "minhash_est_error": q_minhash_est_error,
@@ -975,6 +1024,7 @@ ROUND4_QUERIES = {
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "kfold_assign": q_kfold_assign,
     "hourly_profile": q_hourly_profile,
+    "weekday_seasonality": q_weekday_seasonality,
 }
 
 ROUND4_ORACLES = {
@@ -995,6 +1045,7 @@ ROUND4_ORACLES = {
     ),
     "kfold_assign": ORACLE_KFOLD_ASSIGN,
     "hourly_profile": ORACLE_HOURLY_PROFILE,
+    "weekday_seasonality": ORACLE_WEEKDAY_SEASONALITY,
 }
 
 _q.QUERIES.update(ROUND4_QUERIES)

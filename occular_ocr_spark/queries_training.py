@@ -432,11 +432,90 @@ ORACLE_BRADLEY_TERRY = _bt_oracle()
 # registration
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# weighted_sample_es — Efraimidis–Spirakis weighted sample without replacement
+# ---------------------------------------------------------------------------
+
+_WES_K = 25  # sample size
+
+
+def _wes_hash16(dialect: str) -> str:
+    """First 16 bits of md5(doc_id ':es') — the portable hash family
+    (bootstrap_ci / dp_noisy_counts), keyed for this sampler."""
+    strtype = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def hexv(j: int) -> str:
+        return (
+            f"(instr('0123456789abcdef', substr(md5("
+            f"CAST(doc_id AS {strtype}) || ':es'"
+            f"), {j}, 1)) - 1)"
+        )
+
+    return f"((({hexv(1)} * 16 + {hexv(2)}) * 16 + {hexv(3)}) * 16 + {hexv(4)})"
+
+
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k = 25, weight = n_chars —
+    the Efraimidis–Spirakis A-ES scheme (IPL 2006): each item draws
+    u ∈ (0,1) and the k LARGEST keys u^(1/w) win; equivalently the k
+    largest ln(u)/w, which is what both engines compute (one ln of an
+    exact dyadic rational from the portable 16-bit hash, no pow).
+    This is THE distributed weighted sampler: key assignment is
+    map-side, selection is a global top-k — no sequential pass, no
+    rejection loop, exactly k rows, inclusion probability
+    proportional-ish to weight.
+
+    Determinism: keys quantize to integer PICO-units
+    (floor(ln(u)/w · 10^12) — BIGINT-safe: |ln u| < 12, w >= 1) before
+    ranking, doc_id breaks ties, so the selected SET and its order are
+    bit-stable across engines (the house ln-at-the-surface contract).
+
+    Scale: one scan, map-side key, TakeOrdered(k) — the same shape as
+    sample_k_per_group's global variant; never a full sort.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.greatest(F.col("n_chars").cast("bigint"), F.lit(1)).alias("w"),
+    )
+    h = F.expr(_wes_hash16("spark"))
+    u = (h + F.lit(0.5)) / F.lit(65536.0)
+    keyed = d.select(
+        "doc_id",
+        "w",
+        F.floor(F.log(u) / F.col("w") * F.lit(1e12)).cast("bigint").alias(
+            "key_p"
+        ),
+    )
+    top = keyed.orderBy(F.col("key_p").desc(), "doc_id").limit(_WES_K)
+    wr = Window.orderBy(F.col("key_p").desc(), "doc_id")
+    return top.select(
+        "doc_id", "w", F.row_number().over(wr).cast("int").alias("rank")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE_ES = f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         greatest(CAST(n_chars AS BIGINT), 1) AS w,
+         CAST(floor(ln((({_wes_hash16("duckdb")}) + 0.5) / 65536.0)
+                    / greatest(CAST(n_chars AS BIGINT), 1) * 1e12)
+              AS BIGINT) AS key_p
+  FROM documents),
+top AS (
+  SELECT doc_id, w, key_p FROM keyed
+  ORDER BY key_p DESC, doc_id LIMIT {_WES_K})
+SELECT doc_id, w,
+       CAST(row_number() OVER (ORDER BY key_p DESC, doc_id) AS INT) AS rank
+FROM top
+"""
+
+
 TRAINING_QUERIES = {
     "preference_pairs": q_preference_pairs,
     "padding_waste": q_padding_waste,
     "epoch_shuffle": q_epoch_shuffle,
     "bradley_terry": q_bradley_terry,
+    "weighted_sample_es": q_weighted_sample_es,
 }
 
 TRAINING_ORACLES = {
@@ -444,6 +523,7 @@ TRAINING_ORACLES = {
     "padding_waste": ORACLE_PADDING_WASTE,
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "bradley_terry": ORACLE_BRADLEY_TERRY,
+    "weighted_sample_es": ORACLE_WEIGHTED_SAMPLE_ES,
 }
 
 _q.QUERIES.update(TRAINING_QUERIES)

@@ -865,9 +865,170 @@ JOIN l{_LP_ROUNDS} l USING (doc_id)
 ORACLE_LABEL_PROPAGATION = _lp_oracle()
 
 
+from .queries_ext import ORACLE_DEDUP_GROUPS as _ORACLE_DEDUP_GROUPS
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_stats — near-dup component size histogram
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size histogram of the near-duplicate components: for each
+    cluster size, how many clusters and how many documents — the
+    one-screen summary a dedup run reports (singleton share = unique
+    mass; a giant component = a template flood or a broken
+    threshold).  Reuses the ``cc_largestar`` labels over the memoized
+    verified-pair edge set, so the histogram costs two bounded-key
+    partial aggs beyond the (materialized-in-production) CC labels.
+
+    Scale: labels → (group_id, size) → (size, n_clusters) are two
+    partial-agg rollups; the histogram domain is ≤ max component
+    size.  All integers; shares use the house half-up micro-units.
+    """
+    labels = q_cc_largestar(spark, sf_dir)
+    sizes = labels.groupBy("group_id").agg(
+        F.count("*").cast("bigint").alias("size")
+    )
+    hist = sizes.groupBy("size").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    tot = hist.groupBy().agg(
+        F.sum(F.col("size") * F.col("n_clusters")).alias("n_docs_total")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "size",
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+        (
+            F.expr(
+                "(2000000 * size * n_clusters + n_docs_total)"
+                " DIV (2 * n_docs_total)"
+            )
+            / 1000000.0
+        ).alias("doc_share"),
+    )
+
+
+ORACLE_DEDUP_CLUSTER_STATS = f"""
+WITH labels AS ({_ORACLE_DEDUP_GROUPS}),
+sizes AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS size
+  FROM labels GROUP BY group_id),
+hist AS (
+  SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY size),
+tot AS (SELECT sum(size * n_clusters) AS n_docs_total FROM hist)
+SELECT size, n_clusters,
+       CAST(size * n_clusters AS BIGINT) AS n_docs,
+       ((2000000 * size * n_clusters + n_docs_total)
+        // (2 * n_docs_total)) / 1000000.0 AS doc_share
+FROM hist, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_latency — time-to-convert stats per funnel transition
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for each ``event_funnel`` transition: over the
+    users who completed view→click (and click→purchase), the count and
+    the min / mean / max latency in seconds — the "how fast does the
+    funnel flow" report that turns the step counts into an SLA.
+
+    Latencies are exact microsecond integers (unix_micros / epoch_us);
+    min/max/sum aggregate in BIGINT and the mean is the house half-up
+    integer division in micro-units, so every surfaced number is
+    exact — no float timestamps anywhere.
+
+    Scale: the same three user-keyed partial-agg joins as
+    ``event_funnel`` (all hash-partitioned on user_id), then a 2-row
+    rollup.  Nothing scales with raw event count after the first
+    aggregate.
+    """
+    e = _q._t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    pch = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2k"))
+    )
+    d12 = c.select(
+        F.lit("view_to_click").alias("transition"),
+        (F.col("t2") - F.col("t1")).alias("dt"),
+    )
+    d23 = pch.select(
+        F.lit("click_to_purchase").alias("transition"),
+        (F.col("t3") - F.col("t2k")).alias("dt"),
+    )
+    agg = d12.union(d23).groupBy("transition").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.min("dt").alias("min_us"),
+        F.max("dt").alias("max_us"),
+        F.sum("dt").alias("sum_us"),
+    )
+    return agg.select(
+        "transition",
+        "n_users",
+        F.round(F.col("min_us") / 1000000.0, 6).alias("min_s"),
+        F.round(F.col("max_us") / 1000000.0, 6).alias("max_s"),
+        # half-up mean in whole microseconds, then exact /1e6
+        (
+            F.expr("(2 * sum_us + n_users) DIV (2 * n_users)") / 1000000.0
+        ).alias("mean_s"),
+    )
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, min(us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.us) AS t2, min(v.t1) AS t1 FROM e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.us) AS t3, min(c.t2) AS t2k FROM e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY e.user_id),
+d AS (
+  SELECT 'view_to_click' AS transition, t2 - t1 AS dt FROM c
+  UNION ALL
+  SELECT 'click_to_purchase', t3 - t2k FROM p),
+agg AS (
+  SELECT transition, CAST(count(*) AS BIGINT) AS n_users,
+         min(dt) AS min_us, max(dt) AS max_us, sum(dt) AS sum_us
+  FROM d GROUP BY transition)
+SELECT transition, n_users,
+       round(min_us / 1000000.0, 6) AS min_s,
+       round(max_us / 1000000.0, 6) AS max_s,
+       ((2 * sum_us + n_users) // (2 * n_users)) / 1000000.0 AS mean_s
+FROM agg
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "cc_largestar": q_cc_largestar,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
+    "funnel_latency": q_funnel_latency,
     "approx_distinct": q_approx_distinct,
     "text_normalize": q_text_normalize,
     "decontaminate": q_decontaminate,
@@ -883,6 +1044,8 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLES = {
+    "dedup_cluster_stats": ORACLE_DEDUP_CLUSTER_STATS,
+    "funnel_latency": ORACLE_FUNNEL_LATENCY,
     "dedup_keep_canonical": ORACLE_DEDUP_KEEP_CANONICAL,
     "cc_largestar": ORACLE_CC_LARGESTAR,
     "approx_distinct": ORACLE_APPROX_DISTINCT,

@@ -644,6 +644,140 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# simpson_diversity / hhi_source_concentration — concentration indices
+# ---------------------------------------------------------------------------
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson index of the token-frequency distribution:
+    D = Σ n_i(n_i−1) / (N(N−1)) — the probability two tokens drawn
+    without replacement are the same type — plus the 1−D diversity.
+    The ecology-standard companion to ``token_entropy`` (order-2 vs
+    order-1 Rényi) and ``gini_concentration`` (tail vs head
+    sensitivity): Simpson is dominated by the heaviest types, so a
+    template flood moves it before it moves entropy.
+
+    Numerator and denominator are EXACT integers (DECIMAL(38,0)
+    promoted — n_i(n_i−1) sums overflow int64 near 10^10 tokens), so
+    both surfaced numbers are one IEEE division each, rounded at the
+    surface.
+
+    Scale: the same two-level partial agg as token_entropy — (source,
+    tok) → source — zero windows, zero joins; output is |sources|
+    rows.
+    """
+    tf = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("total_count"),
+        F.round(
+            F.col("rep").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            6,
+        ).alias("simpson"),
+        F.round(
+            F.lit(1.0)
+            - F.col("rep").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            6,
+        ).alias("diversity"),
+    )
+
+
+ORACLE_SIMPSON_DIVERSITY = """
+WITH tf AS (
+  SELECT source, tok, CAST(count(*) AS DECIMAL(38,0)) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY source, tok),
+agg AS (
+  SELECT source, sum(c) AS n, sum(c * (c - 1)) AS rep
+  FROM tf GROUP BY source)
+SELECT source,
+       CAST(n AS BIGINT) AS total_count,
+       round(CAST(rep AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+         AS simpson,
+       round(1.0 - CAST(rep AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+         AS diversity
+FROM agg
+"""
+
+
+def q_hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of corpus concentration across
+    sources: HHI = Σ (n_i/N)² plus the k-normalized form
+    (k·Σn_i² − N²)/(N²·(k−1)) ∈ [0, 1] — the one-number answer to
+    "is this corpus dominated by a single source?" that the mixture
+    entries (``domain_mix_weights``, ``mixture_temperature``) exist
+    to correct.
+
+    All terms are exact integers (DECIMAL(38,0) promoted); both
+    surfaced indices are single IEEE divisions.  Degenerate k = 1
+    pins hhi_normalized = 1.0 on both engines.
+
+    Scale: one bounded-key partial agg (per-source counts) and a
+    1-row rollup.
+    """
+    per_src = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("decimal(38,0)").alias("n_i"))
+    )
+    agg = per_src.groupBy().agg(
+        F.count("*").cast("decimal(38,0)").alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("sq"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_sources"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("sq").cast("double") / (F.col("n") * F.col("n")).cast("double"), 6
+        ).alias("hhi"),
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (F.col("k") * F.col("sq") - F.col("n") * F.col("n")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") * (F.col("k") - 1)).cast("double"),
+                6,
+            )
+        )
+        .alias("hhi_normalized"),
+    )
+
+
+ORACLE_HHI_SOURCE_CONCENTRATION = """
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS n_i
+  FROM documents GROUP BY source),
+agg AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS k,
+         sum(n_i) AS n, sum(n_i * n_i) AS sq
+  FROM per_src)
+SELECT CAST(k AS BIGINT) AS n_sources,
+       CAST(n AS BIGINT) AS n_docs,
+       round(CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS hhi,
+       CASE WHEN k = 1 THEN 1.0
+            ELSE round(CAST(k * sq - n * n AS DOUBLE)
+                       / CAST(n * n * (k - 1) AS DOUBLE), 6)
+       END AS hhi_normalized
+FROM agg
+"""
+
+
 QUALITY_QUERIES = {
     "gopher_rules": q_gopher_rules,
     "ngram_diversity": q_ngram_diversity,
@@ -651,6 +785,8 @@ QUALITY_QUERIES = {
     "token_entropy": q_token_entropy,
     "zipf_fit": q_zipf_fit,
     "gini_concentration": q_gini_concentration,
+    "simpson_diversity": q_simpson_diversity,
+    "hhi_source_concentration": q_hhi_source_concentration,
 }
 
 QUALITY_ORACLES = {
@@ -660,6 +796,8 @@ QUALITY_ORACLES = {
     "token_entropy": ORACLE_TOKEN_ENTROPY,
     "zipf_fit": ORACLE_ZIPF_FIT,
     "gini_concentration": ORACLE_GINI_CONCENTRATION,
+    "simpson_diversity": ORACLE_SIMPSON_DIVERSITY,
+    "hhi_source_concentration": ORACLE_HHI_SOURCE_CONCENTRATION,
 }
 
 _q.QUERIES.update(QUALITY_QUERIES)

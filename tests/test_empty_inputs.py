@@ -133,6 +133,28 @@ REPRESENTATIVE = [
     "label_propagation",
     "k_anonymity",
     "cusum_drift",
+    # round-4 final-session waves 15-24 (degree_assortativity /
+    # cohens_kappa / hhi_source_concentration join the excluded
+    # global aggregates below: single stat row, NULL surfaces)
+    "clustering_coefficient",
+    "bfs_distances",
+    "rrf_fusion",
+    "gini_concentration",
+    "autocorr_daily",
+    "attribution_last_touch",
+    "dp_noisy_counts",
+    "kwic_snippets",
+    "turn_take_entropy",
+    "tool_call_depth",
+    "containment_join",
+    "bloom_probe",
+    "event_markov",
+    "user_burstiness",
+    "weighted_sample_es",
+    "weekday_seasonality",
+    "dedup_cluster_stats",
+    "funnel_latency",
+    "simpson_diversity",
 ]
 
 
@@ -153,7 +175,8 @@ def test_entry_is_total_on_empty_tables(spark, empty_sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["auc_rank", "chi_square_independence", "welch_ttest", "mann_kendall"],
+    ["auc_rank", "chi_square_independence", "welch_ttest", "mann_kendall",
+     "degree_assortativity", "cohens_kappa", "hhi_source_concentration"],
 )
 def test_stat_entries_null_row_on_empty(spark, empty_sf_dir, name):
     # global-aggregate statistics return their single row with NULL
@@ -163,5 +186,8 @@ def test_stat_entries_null_row_on_empty(spark, empty_sf_dir, name):
     rows = QUERIES[name](spark, empty_sf_dir).collect()
     assert len(rows) == 1
     surface = {"auc_rank": "auc", "chi_square_independence": "chi2",
-               "welch_ttest": "t_stat", "mann_kendall": "tau"}[name]
+               "welch_ttest": "t_stat", "mann_kendall": "tau",
+               "degree_assortativity": "assortativity",
+               "cohens_kappa": "kappa",
+               "hhi_source_concentration": "hhi"}[name]
     assert rows[0][surface] is None

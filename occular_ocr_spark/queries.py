@@ -2876,3 +2876,4 @@ from . import queries_quality as _queries_quality  # noqa: E402,F401
 from . import queries_maintenance as _queries_maintenance  # noqa: E402,F401
 from . import queries_evalharness as _queries_evalharness  # noqa: E402,F401
 from . import queries_graph as _queries_graph  # noqa: E402,F401
+from . import queries_corpus as _queries_corpus  # noqa: E402,F401

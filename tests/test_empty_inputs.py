@@ -155,6 +155,12 @@ REPRESENTATIVE = [
     "dedup_cluster_stats",
     "funnel_latency",
     "simpson_diversity",
+    # round-4 wave 25 (corpus-behavior catalog)
+    "session_paths",
+    "pair_ngram_recall",
+    "perplexity_buckets",
+    "turn_self_repetition",
+    "kcore_decompose",
 ]
 
 

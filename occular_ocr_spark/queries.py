@@ -2877,3 +2877,4 @@ from . import queries_maintenance as _queries_maintenance  # noqa: E402,F401
 from . import queries_evalharness as _queries_evalharness  # noqa: E402,F401
 from . import queries_graph as _queries_graph  # noqa: E402,F401
 from . import queries_corpus as _queries_corpus  # noqa: E402,F401
+from . import queries_selection as _queries_selection  # noqa: E402,F401

@@ -161,6 +161,12 @@ REPRESENTATIVE = [
     "perplexity_buckets",
     "turn_self_repetition",
     "kcore_decompose",
+    # round-4 wave 26 (data-selection catalog)
+    "dsir_weights",
+    "ngram_novelty",
+    "daily_anomaly_mad",
+    "adjacent_turn_runs",
+    "shard_skew_report",
 ]
 
 

@@ -886,9 +886,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_candidates(_shingles(spark, sf_dir))
 
 
-def _minhash_candidates(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from minhash-LSH banding over a
-    (doc_id, sh) shingle table."""
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band rows over a (doc_id, sh)
+    shingle table — shared by `_minhash_candidates` and the
+    `lsh_band_load` capacity report."""
     # All K minhashes in ONE partial-aggregated pass: K min() aggregates
     # over the shingle rows — versus a broadcast crossJoin with the seed
     # table, which would push K copies of every shingle through the
@@ -915,9 +916,15 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(band_struct).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from minhash-LSH banding over a
+    (doc_id, sh) shingle table."""
+    bands = _minhash_bands(sh)
     # ONE groupBy(band, band_key) caps hot buckets AND materializes the
     # doc-list; pairs expand inside the array (bounded by cap²/2 per
     # bucket) — the same pattern as the ngram path's hot-shingle cap
@@ -2878,3 +2885,4 @@ from . import queries_evalharness as _queries_evalharness  # noqa: E402,F401
 from . import queries_graph as _queries_graph  # noqa: E402,F401
 from . import queries_corpus as _queries_corpus  # noqa: E402,F401
 from . import queries_selection as _queries_selection  # noqa: E402,F401
+from . import queries_dedupqa as _queries_dedupqa  # noqa: E402,F401

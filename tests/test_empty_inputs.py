@@ -167,6 +167,12 @@ REPRESENTATIVE = [
     "daily_anomaly_mad",
     "adjacent_turn_runs",
     "shard_skew_report",
+    # round-4 wave 27 (dedup-QA catalog; dedup_transitivity joins the
+    # single-stat-row entries — pinned in tests/test_dedupqa_wave.py)
+    "lsh_band_load",
+    "char_entropy",
+    "pair_idf_overlap",
+    "mixture_waterfill",
 ]
 
 

@@ -2886,3 +2886,4 @@ from . import queries_graph as _queries_graph  # noqa: E402,F401
 from . import queries_corpus as _queries_corpus  # noqa: E402,F401
 from . import queries_selection as _queries_selection  # noqa: E402,F401
 from . import queries_dedupqa as _queries_dedupqa  # noqa: E402,F401
+from . import queries_rankstats as _queries_rankstats  # noqa: E402,F401

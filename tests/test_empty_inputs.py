@@ -173,6 +173,13 @@ REPRESENTATIVE = [
     "char_entropy",
     "pair_idf_overlap",
     "mixture_waterfill",
+    # round-4 wave 28 (rank-statistics catalog; spearman/kendall guard
+    # their zero-variance denominators into zero rows, not NULL rows)
+    "mrr_eval",
+    "spearman_corr",
+    "kendall_tau",
+    "readability_score",
+    "zone_map_prune",
 ]
 
 

@@ -54,7 +54,11 @@ _GATE_PRIORITY = [
     # check_queries, and the window samples the asymmetric-containment
     # GRANULARITY the symmetric signatures miss
     "containment_join",
-    "dedup_minhash_lsh",
+    # lsh_band_load (round-4 wave 27) takes the dedup_minhash_lsh slot:
+    # dedup_minhash_verify below runs the identical banding + candidate
+    # chain end-to-end, and the window gains the capacity/cap-truncation
+    # audit surface (ADVICE r3: capped blocking must be visible)
+    "lsh_band_load",
     "dedup_minhash_verify",
     # C4 line-level dedup (round-4 wave 7) takes the simhash slot —
     # simhash stays catalog-gated via check_queries, and the window
@@ -103,9 +107,12 @@ _GATE_PRIORITY = [
     # sorted_neighborhood slot (third blocking variant stays
     # catalog-gated) so the governance/normalization family is sampled
     "quantile_normalize",
-    # warehouse
+    # warehouse — zone_map_prune (round-4 wave 28) takes the
+    # sketch_rollup slot: sketches stay sampled via bloom_probe (and
+    # HLL rollup stays catalog-gated), and the window gains the
+    # storage-layout/file-skipping audit family
     "merge_upsert",
-    "sketch_rollup",
+    "zone_map_prune",
     # transcript
     "conversation_dedup",
     "loss_mask_spans",

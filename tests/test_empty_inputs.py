@@ -180,6 +180,13 @@ REPRESENTATIVE = [
     "kendall_tau",
     "readability_score",
     "zone_map_prune",
+    # round-4 wave 29 (corpus-audit catalog; graph_modularity joins the
+    # single-stat-row entries — pinned in tests/test_audit_wave.py;
+    # join_size_audit returns its 3 audit rows with NULL ratios on
+    # empty tables — pinned below)
+    "char_lm_bpb",
+    "benford_check",
+    "moments_profile",
 ]
 
 

@@ -100,9 +100,13 @@ _GATE_PRIORITY = [
     # sketch_rollup; scd2 stays catalog-gated) so the window carries a
     # second eval-family entry next to ndcg_eval
     "cohens_kappa",
-    # analytics
+    # analytics — link_prediction_jaccard (round-4 wave 30) takes the
+    # fuzzy_join_del1 slot: the string-similarity join stays
+    # catalog-gated (jaccard_prefix_filter keeps the capped-blocking
+    # family sampled), and the window gains the common-neighbor
+    # link-prediction graph surface
     "jaccard_prefix_filter",
-    "fuzzy_join_del1",
+    "link_prediction_jaccard",
     # exact-integer cross-source quantile normalization takes the
     # sorted_neighborhood slot (third blocking variant stays
     # catalog-gated) so the governance/normalization family is sampled

@@ -187,6 +187,12 @@ REPRESENTATIVE = [
     "char_lm_bpb",
     "benford_check",
     "moments_profile",
+    # round-4 wave 30 (corpus-shape catalog; ngram_topk_coverage keeps
+    # its 3 k-rows with NULL coverage on empty tables — pinned below)
+    "embedding_norm_audit",
+    "clustering_depth",
+    "link_prediction_jaccard",
+    "role_balance",
 ]
 
 
@@ -223,3 +229,16 @@ def test_stat_entries_null_row_on_empty(spark, empty_sf_dir, name):
                "cohens_kappa": "kappa",
                "hhi_source_concentration": "hhi"}[name]
     assert rows[0][surface] is None
+
+
+def test_ngram_topk_coverage_k_rows_null_on_empty(spark, empty_sf_dir):
+    # the k-grid survives empty input: one row per k, zero counts and a
+    # NULL coverage (nullif guard) instead of a raise or a dropped row
+    from occular_ocr_spark.queries import QUERIES
+    from occular_ocr_spark.queries_shape import _COV_KS
+
+    rows = QUERIES["ngram_topk_coverage"](spark, empty_sf_dir).collect()
+    assert sorted(r["k"] for r in rows) == sorted(_COV_KS)
+    for r in rows:
+        assert (r["shingles_used"], r["covered_occ"]) == (0, 0)
+        assert r["coverage"] is None

@@ -193,6 +193,12 @@ REPRESENTATIVE = [
     "clustering_depth",
     "link_prediction_jaccard",
     "role_balance",
+    # round-4 wave 31 (pair-fidelity catalog)
+    "pair_edit_similarity",
+    "silhouette_score",
+    "tokenizer_fertility",
+    "oov_rate",
+    "source_minhash_sim",
 ]
 
 

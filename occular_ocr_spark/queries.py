@@ -2890,3 +2890,4 @@ from . import queries_rankstats as _queries_rankstats  # noqa: E402,F401
 from . import queries_audit as _queries_audit  # noqa: E402,F401
 from . import queries_shape as _queries_shape  # noqa: E402,F401
 from . import queries_fidelity as _queries_fidelity  # noqa: E402,F401
+from . import queries_payoff as _queries_payoff  # noqa: E402,F401

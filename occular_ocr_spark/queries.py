@@ -2891,3 +2891,4 @@ from . import queries_audit as _queries_audit  # noqa: E402,F401
 from . import queries_shape as _queries_shape  # noqa: E402,F401
 from . import queries_fidelity as _queries_fidelity  # noqa: E402,F401
 from . import queries_payoff as _queries_payoff  # noqa: E402,F401
+from . import queries_regression as _queries_regression  # noqa: E402,F401

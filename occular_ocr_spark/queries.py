@@ -2892,3 +2892,4 @@ from . import queries_shape as _queries_shape  # noqa: E402,F401
 from . import queries_fidelity as _queries_fidelity  # noqa: E402,F401
 from . import queries_payoff as _queries_payoff  # noqa: E402,F401
 from . import queries_regression as _queries_regression  # noqa: E402,F401
+from . import queries_mlprep as _queries_mlprep  # noqa: E402,F401

@@ -2893,3 +2893,4 @@ from . import queries_fidelity as _queries_fidelity  # noqa: E402,F401
 from . import queries_payoff as _queries_payoff  # noqa: E402,F401
 from . import queries_regression as _queries_regression  # noqa: E402,F401
 from . import queries_mlprep as _queries_mlprep  # noqa: E402,F401
+from . import queries_survival as _queries_survival  # noqa: E402,F401

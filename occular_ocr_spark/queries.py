@@ -2894,3 +2894,4 @@ from . import queries_payoff as _queries_payoff  # noqa: E402,F401
 from . import queries_regression as _queries_regression  # noqa: E402,F401
 from . import queries_mlprep as _queries_mlprep  # noqa: E402,F401
 from . import queries_survival as _queries_survival  # noqa: E402,F401
+from . import queries_experiment as _queries_experiment  # noqa: E402,F401

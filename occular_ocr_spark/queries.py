@@ -2898,3 +2898,4 @@ from . import queries_experiment as _queries_experiment  # noqa: E402,F401
 from . import queries_decode as _queries_decode  # noqa: E402,F401
 from . import queries_coreset as _queries_coreset  # noqa: E402,F401
 from . import queries_calibration as _queries_calibration  # noqa: E402,F401
+from . import queries_signal as _queries_signal  # noqa: E402,F401

@@ -2900,3 +2900,4 @@ from . import queries_coreset as _queries_coreset  # noqa: E402,F401
 from . import queries_calibration as _queries_calibration  # noqa: E402,F401
 from . import queries_signal as _queries_signal  # noqa: E402,F401
 from . import queries_nonparam as _queries_nonparam  # noqa: E402,F401
+from . import queries_robust as _queries_robust  # noqa: E402,F401

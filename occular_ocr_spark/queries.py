@@ -2903,3 +2903,4 @@ from . import queries_nonparam as _queries_nonparam  # noqa: E402,F401
 from . import queries_robust as _queries_robust  # noqa: E402,F401
 from . import queries_estimation as _queries_estimation  # noqa: E402,F401
 from . import queries_spectral as _queries_spectral  # noqa: E402,F401
+from . import queries_dependence as _queries_dependence  # noqa: E402,F401

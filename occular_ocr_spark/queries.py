@@ -2904,3 +2904,4 @@ from . import queries_robust as _queries_robust  # noqa: E402,F401
 from . import queries_estimation as _queries_estimation  # noqa: E402,F401
 from . import queries_spectral as _queries_spectral  # noqa: E402,F401
 from . import queries_dependence as _queries_dependence  # noqa: E402,F401
+from . import queries_design as _queries_design  # noqa: E402,F401

@@ -2905,3 +2905,4 @@ from . import queries_estimation as _queries_estimation  # noqa: E402,F401
 from . import queries_spectral as _queries_spectral  # noqa: E402,F401
 from . import queries_dependence as _queries_dependence  # noqa: E402,F401
 from . import queries_design as _queries_design  # noqa: E402,F401
+from . import queries_distfit as _queries_distfit  # noqa: E402,F401

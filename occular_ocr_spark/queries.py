@@ -2907,3 +2907,4 @@ from . import queries_dependence as _queries_dependence  # noqa: E402,F401
 from . import queries_design as _queries_design  # noqa: E402,F401
 from . import queries_distfit as _queries_distfit  # noqa: E402,F401
 from . import queries_clustereval as _queries_clustereval  # noqa: E402,F401
+from . import queries_evalmetrics as _queries_evalmetrics  # noqa: E402,F401

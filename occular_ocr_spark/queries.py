@@ -2908,3 +2908,4 @@ from . import queries_design as _queries_design  # noqa: E402,F401
 from . import queries_distfit as _queries_distfit  # noqa: E402,F401
 from . import queries_clustereval as _queries_clustereval  # noqa: E402,F401
 from . import queries_evalmetrics as _queries_evalmetrics  # noqa: E402,F401
+from . import queries_diagnostics as _queries_diagnostics  # noqa: E402,F401

@@ -1,0 +1,750 @@
+"""Diagnostics & robust-decomposition catalog, round 4 (wave 50):
+five operators spanning the learned-indexing, aggregation-paradox,
+robust-two-way, concentration-bound, and sequence-randomness
+surfaces —
+
+* ``learned_index_audit`` — RMI feasibility audit of the ``n_chars``
+  key distribution: OLS of cumulative rank vs key over the exact
+  value histogram (unweighted over distinct keys — the index maps
+  keys to positions, documented), with max and mean absolute
+  prediction error.  A small max error says a 1-layer learned index
+  (or a linear zone map) replaces the B-tree; the indexing companion
+  to ``range_partition_plan`` / ``zone_map_prune``.
+* ``simpson_paradox_check`` — does the en-vs-other token-count gap
+  flip sign inside source strata?  Aggregate gap, per-stratum gaps
+  (micro-quantized), flip count, and the row-mass share of flipped
+  strata.  The aggregation-trap companion to ``ipw_effect`` — that
+  one fixes the estimate, this one raises the alarm.
+* ``median_polish`` — two sweeps of Tukey's median polish on the
+  source × length-bucket median-token-count grid: row/column effects
+  via exact lower medians over the bounded grid frames, residual
+  median-absolute summary.  The robust two-way companion to
+  ``anova_f_source`` (means, one-way).
+* ``hoeffding_bounds`` — distribution-free 95% mean-length interval
+  per source via Hoeffding's inequality on the observed global range
+  R: ε = R·√(ln(2/δ)/(2n)); flags strata whose certificate excludes
+  the grand mean.  The concentration companion to
+  ``wilson_intervals`` (binomial) and ``bootstrap_ci`` (resampled).
+* ``updown_runs_test`` — the difference-sign runs test of the daily
+  series (up/down runs; zero diffs dropped, documented):
+  E[R] = (2n−1)/3, Var[R] = (16n−29)/90 with n = #diffs+1.  Detects
+  short-scale oscillation the median-based ``runs_test`` is blind
+  to; completes the randomness family with ``hurst_rs`` /
+  ``autocorr_daily``.
+
+House contract: DuckDB value-hash oracle with identical aliases,
+self-registration into queries.QUERIES / ORACLES on import, semantics
+tests plus physical-plan assertions in tests/test_diagnostics_wave.py.
+
+Cross-engine float policy (the corr_matrix / zipf_fit doctrine):
+per-stratum gaps, index-error terms, and residuals micro-quantize
+before cross-row reductions (max is order-free anyway); medians are
+exact order statistics; z/ε finals are row-local IEEE on exact
+integers.
+
+Scale notes: everything here runs on bounded frames — the n_chars
+value histogram, the ≤ #sources × 6 grid, the #sources stratum
+table, the #days daily series; ``median_polish``'s median windows
+are partitioned per row / per column of the grid.
+
+Reference parity: axis-B net-new corpus ops (the reference
+Bodhi42/Occular-ocr engine is per-document OCR only; SURVEY.md §2,
+"LLM-data pipeline ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import queries as _q
+from .queries import _t
+
+# median-polish grid bucket width/cap (the cochran grid)
+_MP_W = 100
+_MP_K = 6
+
+# Hoeffding delta = 0.05 -> ln(2/delta) = ln(40)
+_HB_LN = "ln(40.0)"
+
+_TOKN = "size(filter(split(coalesce(text, ''), ' '), x -> x <> ''))"
+_TOKN_DUCK = (
+    "len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> ''))"
+)
+
+
+# ---------------------------------------------------------------------------
+# learned_index_audit — linear fit of rank vs key + error profile
+# ---------------------------------------------------------------------------
+
+
+def q_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of cumulative rank on key over distinct ``n_chars`` keys,
+    with max/mean |rank − fit|.  Moment sums are exact BIGINTs; the
+    slope/intercept are row-local; per-key errors are micro-quantized
+    before the mean (max is order-free).
+
+    Scale: value-histogram partial agg, one bounded cumulative
+    window, a 1-row fit broadcast back over the histogram.
+    """
+    hist = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("n_chars").cast("bigint").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("r", F.sum("m").over(wc).cast("bigint"))
+    mom = cum.groupBy().agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("sx"),
+        F.sum("r").cast("bigint").alias("sy"),
+        F.sum(F.expr("v * r")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("v * v")).cast("bigint").alias("sxx"),
+    )
+    fit = mom.select(
+        "k",
+        "n_rows",
+        F.expr(
+            """
+            CASE WHEN k * sxx - sx * sx = 0 THEN 0.0 ELSE
+              CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
+            END
+            """
+        ).alias("b_raw"),
+        "sx",
+        "sy",
+    ).select(
+        "k",
+        "n_rows",
+        "b_raw",
+        F.expr(
+            "CAST(sy AS DOUBLE) / k - b_raw * (CAST(sx AS DOUBLE) / k)"
+        ).alias("a_raw"),
+    )
+    errs = cum.crossJoin(F.broadcast(fit)).select(
+        "k",
+        "n_rows",
+        "a_raw",
+        "b_raw",
+        F.expr(
+            "CAST(floor(abs(r - (a_raw + b_raw * v)) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("e_u"),
+    )
+    agg = errs.groupBy().agg(
+        F.max("k").cast("bigint").alias("n_keys"),
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.max("a_raw").alias("a_raw"),
+        F.max("b_raw").alias("b_raw"),
+        F.max("e_u").cast("bigint").alias("max_u"),
+        F.sum("e_u").cast("bigint").alias("sum_u"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        F.expr(
+            "CAST(floor(b_raw * 1e6 + 0.5) AS BIGINT) / 1e6"
+        ).alias("slope"),
+        F.expr(
+            "CAST(floor(a_raw * 1e6 + 0.5) AS BIGINT) / 1e6"
+        ).alias("intercept"),
+        F.expr("max_u / 1e6").alias("max_err"),
+        F.expr(
+            "CAST(floor(CAST(sum_u AS DOUBLE) / n_keys + 0.5) AS BIGINT)"
+            " / 1e6"
+        ).alias("mean_err"),
+    )
+
+
+ORACLE_LEARNED_INDEX_AUDIT = """
+WITH hist AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS m
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT v, m,
+         CAST(sum(m) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS r
+  FROM hist),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(m) AS BIGINT) AS n_rows,
+         CAST(sum(v) AS BIGINT) AS sx, CAST(sum(r) AS BIGINT) AS sy,
+         CAST(sum(v * r) AS BIGINT) AS sxy,
+         CAST(sum(v * v) AS BIGINT) AS sxx
+  FROM cum),
+fit AS (
+  SELECT k, n_rows,
+         CASE WHEN k * sxx - sx * sx = 0 THEN 0.0 ELSE
+           CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)
+         END AS b_raw,
+         sx, sy
+  FROM mom),
+fit2 AS (
+  SELECT k, n_rows, b_raw,
+         CAST(sy AS DOUBLE) / k - b_raw * (CAST(sx AS DOUBLE) / k)
+           AS a_raw
+  FROM fit),
+errs AS (
+  SELECT k, n_rows, a_raw, b_raw,
+         CAST(floor(abs(r - (a_raw + b_raw * v)) * 1e6 + 0.5)
+           AS BIGINT) AS e_u
+  FROM cum, fit2),
+agg AS (
+  SELECT CAST(max(k) AS BIGINT) AS n_keys,
+         CAST(max(n_rows) AS BIGINT) AS n_rows,
+         max(a_raw) AS a_raw, max(b_raw) AS b_raw,
+         CAST(max(e_u) AS BIGINT) AS max_u,
+         CAST(sum(e_u) AS BIGINT) AS sum_u
+  FROM errs)
+SELECT n_rows, n_keys,
+       CAST(floor(b_raw * 1e6 + 0.5) AS BIGINT) / 1e6 AS slope,
+       CAST(floor(a_raw * 1e6 + 0.5) AS BIGINT) / 1e6 AS intercept,
+       max_u / 1e6 AS max_err,
+       CAST(floor(CAST(sum_u AS DOUBLE) / n_keys + 0.5) AS BIGINT)
+         / 1e6 AS mean_err
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# simpson_paradox_check — stratum sign flips of the en token-count gap
+# ---------------------------------------------------------------------------
+
+
+def q_simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate en-vs-other token-count gap vs per-source gaps:
+    flips = both-arm strata whose micro-quantized gap sign opposes
+    the micro-quantized aggregate sign; reports flip count and the
+    row-mass share of flipped strata.
+
+    Scale: one (source, arm) partial agg, a 1-row aggregate broadcast
+    back, one k-row reduce.
+    """
+    cell = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.coalesce("source", F.lit("")).alias("g"),
+            (F.col("lang") == "en").cast("bigint").alias("tr"),
+            F.expr(_TOKN).cast("bigint").alias("y"),
+        )
+        .groupBy("g", "tr")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+    )
+    strat = cell.groupBy("g").agg(
+        F.sum(F.expr("CASE WHEN tr = 1 THEN n ELSE 0 END"))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.expr("CASE WHEN tr = 1 THEN sy ELSE 0 END"))
+        .cast("bigint")
+        .alias("y1"),
+        F.sum(F.expr("CASE WHEN tr = 0 THEN n ELSE 0 END"))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.expr("CASE WHEN tr = 0 THEN sy ELSE 0 END"))
+        .cast("bigint")
+        .alias("y0"),
+    )
+    tot = strat.groupBy().agg(
+        F.sum("n1").cast("bigint").alias("tn1"),
+        F.sum("y1").cast("bigint").alias("ty1"),
+        F.sum("n0").cast("bigint").alias("tn0"),
+        F.sum("y0").cast("bigint").alias("ty0"),
+    )
+    terms = strat.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n0",
+        F.expr(
+            """
+            CASE WHEN n1 > 0 AND n0 > 0 THEN
+              CAST(floor((CAST(y1 AS DOUBLE) / n1
+                - CAST(y0 AS DOUBLE) / n0) * 1e6 + 0.5) AS BIGINT)
+            END
+            """
+        ).alias("gq"),
+        F.expr(
+            """
+            CASE WHEN tn1 = 0 OR tn0 = 0 THEN CAST(0 AS BIGINT) ELSE
+              CAST(floor((CAST(ty1 AS DOUBLE) / tn1
+                - CAST(ty0 AS DOUBLE) / tn0) * 1e6 + 0.5) AS BIGINT)
+            END
+            """
+        ).alias("aq"),
+    )
+    agg = terms.groupBy().agg(
+        F.sum(F.expr("CASE WHEN gq IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_strata_used"),
+        F.sum(F.expr("CASE WHEN gq IS NOT NULL THEN n1 + n0 ELSE 0 END"))
+        .cast("bigint")
+        .alias("mass_used"),
+        F.sum(
+            F.expr(
+                """
+                CASE WHEN gq IS NOT NULL AND sign(gq) <> sign(aq)
+                  AND gq <> 0 THEN 1 ELSE 0 END
+                """
+            )
+        )
+        .cast("bigint")
+        .alias("n_flips"),
+        F.sum(
+            F.expr(
+                """
+                CASE WHEN gq IS NOT NULL AND sign(gq) <> sign(aq)
+                  AND gq <> 0 THEN n1 + n0 ELSE 0 END
+                """
+            )
+        )
+        .cast("bigint")
+        .alias("mass_flipped"),
+        F.max("aq").cast("bigint").alias("aq"),
+    )
+    return agg.select(
+        "n_strata_used",
+        "n_flips",
+        F.expr("aq / 1e6").alias("aggregate_gap"),
+        F.expr(
+            """
+            CASE WHEN mass_used = 0 THEN 0.0 ELSE
+              (2000000 * mass_flipped + mass_used)
+                DIV (2 * mass_used) / 1e6
+            END
+            """
+        ).alias("flipped_mass_share"),
+        F.expr(
+            """
+            CASE WHEN mass_used = 0 THEN false ELSE
+              2 * mass_flipped > mass_used END
+            """
+        ).alias("paradox_flag"),
+    )
+
+
+ORACLE_SIMPSON_PARADOX_CHECK = f"""
+WITH cell AS (
+  SELECT coalesce(source, '') AS g,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS tr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({_TOKN_DUCK}) AS BIGINT) AS sy
+  FROM documents GROUP BY 1, 2),
+strat AS (
+  SELECT g,
+         CAST(sum(CASE WHEN tr = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN tr = 1 THEN sy ELSE 0 END) AS BIGINT) AS y1,
+         CAST(sum(CASE WHEN tr = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN tr = 0 THEN sy ELSE 0 END) AS BIGINT) AS y0
+  FROM cell GROUP BY g),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS tn1, CAST(sum(y1) AS BIGINT) AS ty1,
+         CAST(sum(n0) AS BIGINT) AS tn0, CAST(sum(y0) AS BIGINT) AS ty0
+  FROM strat),
+terms AS (
+  SELECT n1, n0,
+         CASE WHEN n1 > 0 AND n0 > 0 THEN
+           CAST(floor((CAST(y1 AS DOUBLE) / n1
+             - CAST(y0 AS DOUBLE) / n0) * 1e6 + 0.5) AS BIGINT)
+         END AS gq,
+         CASE WHEN tn1 = 0 OR tn0 = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(floor((CAST(ty1 AS DOUBLE) / tn1
+             - CAST(ty0 AS DOUBLE) / tn0) * 1e6 + 0.5) AS BIGINT)
+         END AS aq
+  FROM strat, tot),
+agg AS (
+  SELECT CAST(sum(CASE WHEN gq IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_strata_used,
+         CAST(sum(CASE WHEN gq IS NOT NULL THEN n1 + n0 ELSE 0 END)
+           AS BIGINT) AS mass_used,
+         CAST(sum(CASE WHEN gq IS NOT NULL AND sign(gq) <> sign(aq)
+             AND gq <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flips,
+         CAST(sum(CASE WHEN gq IS NOT NULL AND sign(gq) <> sign(aq)
+             AND gq <> 0 THEN n1 + n0 ELSE 0 END) AS BIGINT)
+           AS mass_flipped,
+         CAST(max(aq) AS BIGINT) AS aq
+  FROM terms)
+SELECT n_strata_used, n_flips,
+       aq / 1e6 AS aggregate_gap,
+       CASE WHEN mass_used = 0 THEN 0.0 ELSE
+         (2000000 * mass_flipped + mass_used) // (2 * mass_used) / 1e6
+       END AS flipped_mass_share,
+       CASE WHEN mass_used = 0 THEN false ELSE
+         2 * mass_flipped > mass_used END AS paradox_flag
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# median_polish — two Tukey sweeps on the source x bucket median grid
+# ---------------------------------------------------------------------------
+
+
+def _lower_median(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
+    """Exact lower median of `val` per `part` over a bounded frame."""
+    wr = Window.partitionBy(part).orderBy(val)
+    wa = Window.partitionBy(part)
+    return (
+        df.withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_ct", F.count("*").over(wa))
+        .where(F.expr("_rn = (_ct + 1) DIV 2"))
+        .select(F.col(part), F.col(val).alias(out))
+    )
+
+
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two median-polish sweeps on the source × length-bucket grid of
+    per-cell median token counts: sweep = subtract row medians (into
+    row effects), then column medians (into column effects); lower
+    medians throughout (exact order statistics; empty cells simply
+    absent).  Output: per-source row effects after two sweeps, with
+    the shared overall (median of first-sweep row medians) and final
+    residual median-absolute value on every row.
+
+    Scale: the grid is ≤ #sources × 6 cells; every median window is
+    partitioned per row / per column of that bounded grid.
+    """
+    cellmed = _lower_median(
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.coalesce("source", F.lit("")).alias("g"),
+            F.expr(f"least(n_chars DIV {_MP_W}, {_MP_K - 1})").alias("b"),
+            F.expr(_TOKN).cast("bigint").alias("y"),
+        )
+        .withColumn("gb", F.expr("concat(g, '|', b)")),
+        "gb",
+        "y",
+        "y",
+    ).select(
+        F.expr("split(gb, '\\\\|')[0]").alias("g"),
+        F.expr("CAST(split(gb, '\\\\|')[1] AS BIGINT)").alias("b"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    # sweep 1: row medians -> row effects; overall = median of those
+    row1 = _lower_median(cellmed, "g", "y", "rmed")
+    overall = _lower_median(
+        row1.withColumn("_one", F.lit(1)), "_one", "rmed", "ov"
+    ).select("ov")
+    res1 = (
+        cellmed.join(row1, "g")
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "g",
+            "b",
+            F.expr("y - rmed").cast("bigint").alias("r"),
+            F.expr("rmed - ov").cast("bigint").alias("re1"),
+            "ov",
+        )
+    )
+    col1 = _lower_median(res1, "b", "r", "cmed")
+    res2 = res1.join(col1, "b").select(
+        "g",
+        "b",
+        F.expr("r - cmed").cast("bigint").alias("r"),
+        "re1",
+        "ov",
+    )
+    # sweep 2: row medians of residuals adjust the row effects
+    row2 = _lower_median(res2, "g", "r", "rmed2")
+    res3 = res2.join(row2, "g").select(
+        "g",
+        "b",
+        F.expr("r - rmed2").cast("bigint").alias("r"),
+        F.expr("re1 + rmed2").cast("bigint").alias("re"),
+        "ov",
+    )
+    col2 = _lower_median(res3, "b", "r", "cmed2")
+    final = res3.join(col2, "b").select(
+        "g",
+        F.expr("r - cmed2").cast("bigint").alias("r"),
+        "re",
+        "ov",
+    )
+    resmad = _lower_median(
+        final.select(F.lit(1).alias("_one"), F.expr("abs(r)").alias("ar")),
+        "_one",
+        "ar",
+        "res_mad",
+    ).select("res_mad")
+    return (
+        final.groupBy("g", "re", "ov")
+        .agg(F.count("*").cast("bigint").alias("n_cells"))
+        .crossJoin(F.broadcast(resmad))
+        .select(
+            F.col("g").alias("source"),
+            "n_cells",
+            F.col("re").cast("bigint").alias("row_effect"),
+            F.col("ov").cast("bigint").alias("overall"),
+            F.col("res_mad").cast("bigint").alias("residual_mad"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MEDIAN_POLISH = f"""
+WITH cells AS (
+  SELECT g, b, y FROM (
+    SELECT g, b, y,
+           row_number() OVER (PARTITION BY g, b ORDER BY y) AS rn,
+           count(*) OVER (PARTITION BY g, b) AS ct
+    FROM (SELECT coalesce(source, '') AS g,
+                 least(n_chars // {_MP_W}, {_MP_K - 1}) AS b,
+                 CAST({_TOKN_DUCK} AS BIGINT) AS y
+          FROM documents))
+  WHERE rn = (ct + 1) // 2),
+row1 AS (
+  SELECT g, y AS rmed FROM (
+    SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y) AS rn,
+           count(*) OVER (PARTITION BY g) AS ct
+    FROM cells) WHERE rn = (ct + 1) // 2),
+ovr AS (
+  SELECT rmed AS ov FROM (
+    SELECT rmed, row_number() OVER (ORDER BY rmed) AS rn,
+           count(*) OVER () AS ct
+    FROM row1) WHERE rn = (ct + 1) // 2),
+res1 AS (
+  SELECT c.g, c.b, CAST(c.y - r.rmed AS BIGINT) AS r,
+         CAST(r.rmed - o.ov AS BIGINT) AS re1, o.ov
+  FROM cells c JOIN row1 r USING (g), ovr o),
+col1 AS (
+  SELECT b, r AS cmed FROM (
+    SELECT b, r, row_number() OVER (PARTITION BY b ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY b) AS ct
+    FROM res1) WHERE rn = (ct + 1) // 2),
+res2 AS (
+  SELECT g, b, CAST(r - cmed AS BIGINT) AS r, re1, ov
+  FROM res1 JOIN col1 USING (b)),
+row2 AS (
+  SELECT g, r AS rmed2 FROM (
+    SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY g) AS ct
+    FROM res2) WHERE rn = (ct + 1) // 2),
+res3 AS (
+  SELECT g, b, CAST(r - rmed2 AS BIGINT) AS r,
+         CAST(re1 + rmed2 AS BIGINT) AS re, ov
+  FROM res2 JOIN row2 USING (g)),
+col2 AS (
+  SELECT b, r AS cmed2 FROM (
+    SELECT b, r, row_number() OVER (PARTITION BY b ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY b) AS ct
+    FROM res3) WHERE rn = (ct + 1) // 2),
+final AS (
+  SELECT g, CAST(r - cmed2 AS BIGINT) AS r, re, ov
+  FROM res3 JOIN col2 USING (b)),
+resmad AS (
+  SELECT ar AS res_mad FROM (
+    SELECT abs(r) AS ar, row_number() OVER (ORDER BY abs(r)) AS rn,
+           count(*) OVER () AS ct
+    FROM final) WHERE rn = (ct + 1) // 2)
+SELECT g AS source, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(re AS BIGINT) AS row_effect,
+       CAST(ov AS BIGINT) AS overall,
+       CAST(max(res_mad) AS BIGINT) AS residual_mad
+FROM final, resmad
+GROUP BY g, re, ov, res_mad
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# hoeffding_bounds — distribution-free mean-length certificates
+# ---------------------------------------------------------------------------
+
+
+def q_hoeffding_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Hoeffding interval per source for mean ``n_chars`` on the
+    observed global range R: ε = R·√(ln 40 / (2n)); flags sources
+    whose certificate excludes the grand mean.
+
+    Scale: one per-source agg, a 1-row (range, grand mean) broadcast.
+    """
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.coalesce("source", F.lit("")).alias("source"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_s"),
+            F.sum(F.col("n_chars").cast("bigint"))
+            .cast("bigint")
+            .alias("s1"),
+        )
+    )
+    glob = (
+        _t(spark, sf_dir, "documents")
+        .groupBy()
+        .agg(
+            F.min("n_chars").cast("bigint").alias("vmin"),
+            F.max("n_chars").cast("bigint").alias("vmax"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("st"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_s",
+            F.expr(
+                "CAST(floor(CAST(s1 AS DOUBLE) / n_s * 1e6 + 0.5)"
+                " AS BIGINT) / 1e6"
+            ).alias("mean_len"),
+            F.expr(
+                f"""
+                CAST(floor(CAST(vmax - vmin AS DOUBLE)
+                  * sqrt({_HB_LN} / (2.0 * n_s)) * 1e6 + 0.5)
+                  AS BIGINT) / 1e6
+                """
+            ).alias("epsilon"),
+            F.expr("CAST(st AS DOUBLE) / n").alias("grand_raw"),
+            F.expr("CAST(s1 AS DOUBLE) / n_s").alias("mean_raw"),
+            F.expr(
+                f"""
+                CAST(vmax - vmin AS DOUBLE)
+                  * sqrt({_HB_LN} / (2.0 * n_s))
+                """
+            ).alias("eps_raw"),
+        )
+        .select(
+            "source",
+            "n_s",
+            "mean_len",
+            "epsilon",
+            F.expr(
+                "abs(mean_raw - grand_raw) > eps_raw"
+            ).alias("excludes_grand"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_HOEFFDING_BOUNDS = f"""
+WITH per AS (
+  SELECT coalesce(source, '') AS source,
+         CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1
+  FROM documents GROUP BY 1),
+gstats AS (
+  SELECT CAST(min(n_chars) AS BIGINT) AS vmin,
+         CAST(max(n_chars) AS BIGINT) AS vmax,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS st
+  FROM documents)
+SELECT source, n_s,
+       CAST(floor(CAST(s1 AS DOUBLE) / n_s * 1e6 + 0.5) AS BIGINT)
+         / 1e6 AS mean_len,
+       CAST(floor(CAST(vmax - vmin AS DOUBLE)
+         * sqrt({_HB_LN} / (2.0 * n_s)) * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS epsilon,
+       abs(CAST(s1 AS DOUBLE) / n_s - CAST(st AS DOUBLE) / n)
+         > CAST(vmax - vmin AS DOUBLE) * sqrt({_HB_LN} / (2.0 * n_s))
+         AS excludes_grand
+FROM per, gstats
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# updown_runs_test — difference-sign runs of the daily series
+# ---------------------------------------------------------------------------
+
+
+def q_updown_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up/down runs: sign of each daily difference (zeros dropped,
+    documented), maximal same-sign runs counted, and the classical
+    moments E[R] = (2n−1)/3, Var[R] = (16n−29)/90 with n = m + 1
+    (m = kept diffs).
+
+    Scale: daily partial agg; lag/sign/run windows over the #days
+    frame (the documented bounded exception).
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    wd = Window.orderBy("d")
+    diffs = (
+        daily.withColumn("dy", F.col("y") - F.lag("y").over(wd))
+        .where(F.col("dy").isNotNull() & (F.col("dy") != 0))
+        .select("d", F.expr("sign(dy)").cast("bigint").alias("s"))
+    )
+    runs = diffs.withColumn(
+        "chg",
+        F.expr(
+            "CASE WHEN lag(s) OVER (ORDER BY d) IS NULL"
+            " OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END"
+        ),
+    )
+    agg = runs.groupBy().agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("chg").cast("bigint").alias("runs"),
+        F.sum(F.expr("CASE WHEN s > 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_up"),
+    )
+    return agg.select(
+        (F.col("m") + 1).alias("n"),
+        "n_up",
+        F.expr("m - n_up").alias("n_down"),
+        "runs",
+        F.expr(
+            """
+            CASE WHEN m < 2 THEN 0.0 ELSE
+              CAST(floor(
+                (runs - (2.0 * (m + 1) - 1.0) / 3.0)
+                / sqrt((16.0 * (m + 1) - 29.0) / 90.0) * 1e6 + 0.5
+              ) AS BIGINT) / 1e6
+            END
+            """
+        ).alias("z"),
+    )
+
+
+ORACLE_UPDOWN_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+diffs AS (
+  SELECT d, CAST(sign(dy) AS BIGINT) AS s
+  FROM (SELECT d, y - lag(y) OVER (ORDER BY d) AS dy FROM daily)
+  WHERE dy IS NOT NULL AND dy <> 0),
+runs AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                 OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END
+              AS chg
+  FROM diffs),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(chg) AS BIGINT) AS runs,
+         CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+  FROM runs)
+SELECT m + 1 AS n, n_up, m - n_up AS n_down, runs,
+       CASE WHEN m < 2 THEN 0.0 ELSE
+         CAST(floor(
+           (runs - (2.0 * (m + 1) - 1.0) / 3.0)
+           / sqrt((16.0 * (m + 1) - 29.0) / 90.0) * 1e6 + 0.5
+         ) AS BIGINT) / 1e6
+       END AS z
+FROM agg
+"""
+
+
+DIAGNOSTICS_QUERIES = {
+    "learned_index_audit": q_learned_index_audit,
+    "simpson_paradox_check": q_simpson_paradox_check,
+    "median_polish": q_median_polish,
+    "hoeffding_bounds": q_hoeffding_bounds,
+    "updown_runs_test": q_updown_runs_test,
+}
+
+DIAGNOSTICS_ORACLES = {
+    "learned_index_audit": ORACLE_LEARNED_INDEX_AUDIT,
+    "simpson_paradox_check": ORACLE_SIMPSON_PARADOX_CHECK,
+    "median_polish": ORACLE_MEDIAN_POLISH,
+    "hoeffding_bounds": ORACLE_HOEFFDING_BOUNDS,
+    "updown_runs_test": ORACLE_UPDOWN_RUNS_TEST,
+}
+
+_q.QUERIES.update(DIAGNOSTICS_QUERIES)
+_q.ORACLES.update(DIAGNOSTICS_ORACLES)

@@ -2909,3 +2909,4 @@ from . import queries_distfit as _queries_distfit  # noqa: E402,F401
 from . import queries_clustereval as _queries_clustereval  # noqa: E402,F401
 from . import queries_evalmetrics as _queries_evalmetrics  # noqa: E402,F401
 from . import queries_diagnostics as _queries_diagnostics  # noqa: E402,F401
+from . import queries_inference as _queries_inference  # noqa: E402,F401

@@ -2910,3 +2910,4 @@ from . import queries_clustereval as _queries_clustereval  # noqa: E402,F401
 from . import queries_evalmetrics as _queries_evalmetrics  # noqa: E402,F401
 from . import queries_diagnostics as _queries_diagnostics  # noqa: E402,F401
 from . import queries_inference as _queries_inference  # noqa: E402,F401
+from . import queries_privacy2 as _queries_privacy2  # noqa: E402,F401

@@ -1,57 +1,56 @@
-"""Distribution-distance & robust-estimation catalog, round 4
-(wave 47): five operators spanning the optimal-transport, empirical-
-Bayes, trie-structure, robust-location, and goodness-of-fit
-surfaces —
+"""Distribution-fit & sketch-audit catalog, round 4 (wave 54): five
+operators around "does this corpus column follow the distribution the
+pipeline assumes, and how cheaply can we check at 100 TB" —
 
-* ``wasserstein_1d`` — the exact 1-D earth-mover (W₁) distance
-  between the en and non-en ``n_chars`` distributions:
-  W₁ = ∫|F_A − F_B| dx collapses on the value histogram to
-  Σ |cumA·n_B − cumB·n_A|·Δv / (n_A·n_B) — PURE BIGINT arithmetic
-  until one final division.  Sees magnitude of separation where
-  ``ks_statistic`` sees only the max gap and ``psi_drift`` needs
-  bins.
-* ``eb_shrinkage`` — empirical-Bayes (Beta method-of-moments)
-  shrinkage of per-source en-rates: the prior (α, β) comes from the
-  across-source rate moments (micro-quantized per source before the
-  k-row sums), and each source's posterior mean (e+α)/(n+α+β) pulls
-  small strata toward the grand rate.  The James-Stein companion to
-  ``wilson_intervals``.
-* ``prefix_tree_stats`` — vocabulary trie profile at depths
-  1..``_PT_D``: distinct prefixes, covered types, exact-end counts,
-  and per-depth fan-out ratio (a bounded lag window over the depth
-  frame).  The tokenizer-design companion to ``bpe_merges`` /
-  ``vocab_encode`` — branching collapse says where merges stop
-  paying.
-* ``trimmed_stats`` — 10%-trimmed and winsorized means of
-  ``n_chars`` computed EXACTLY from the value histogram: per-value
-  kept-mass is an integer interval overlap with the rank window
-  [⌊0.1n⌋+1, n−⌊0.1n⌋], so both robust means are exact rationals.
-  The robust-location companion to ``daily_anomaly_mad`` (spread)
-  and ``theil_sen`` (slope).
-* ``cvm_expfit`` — the Cramér–von Mises W² statistic of the per-user
-  inter-arrival deltas against their fitted exponential: the
-  tie-safe per-value decomposition uses Σ(2i−1) = m(2c+m) and
-  Σ(2i−1)² = g(c+m)−g(c) with g(k) = k(4k²−1)/3 — exact integers —
-  and per-value terms are micro-quantized before the sum.  The
-  quadratic-norm companion to ``interarrival_expfit``'s sup-norm KS.
+* ``jarque_bera`` — the formal normality TEST companion to
+  ``moments_profile`` (which reports shape; this one decides): JB =
+  n/6·(g₁² + g₂²/4) of the daily event-count series, skewness and
+  excess kurtosis from exact DECIMAL(38,0) power sums via the house
+  central-moment polynomials.
+* ``dickey_fuller`` — unit-root t-test of the daily series
+  (Δyₜ = α + γ·yₜ₋₁ + ε, with constant): γ̂ and its t-statistic from
+  exact deviation sums over the lag-adjacent pairs; rejection at the
+  5% Dickey-Fuller critical value −2.86.  The stationarity companion
+  to ``ar1_yulewalker`` (which fits assuming stationarity; this one
+  tests it).
+* ``sax_symbols`` — SAX symbolization of the daily series: exact
+  z-scores zₜ = (n·xₜ−S)/√(n·Σx²−S²) (one sqrt on an exact integer),
+  PAA over ``_SAX_W`` equal segments by integer division, 4-letter
+  Gaussian-breakpoint alphabet (±0.6745, 0).  The shape-index
+  companion to ``ts_decompose`` — a 8-char sketch a catalog can store
+  per metric per week.
+* ``randomized_response`` — local-DP frequency oracle over
+  ``documents.lang``: each row reports its true label with p = 3/4
+  else a hash-chosen label (both coins from the portable md5-hex
+  trick, so the "noise" is bit-identical on both engines), and the
+  estimator de-biases  π̂ᵥ = (fᵥ − (1−p)/k)/p.  Reports estimated vs
+  true frequency per label and the ε = ln((p+(1−p)/k)/((1−p)/k))
+  budget actually spent.
+* ``f2_ams_sketch`` — AMS tug-of-war estimate of the second frequency
+  moment (self-join size) of the token stream: ``_F2_R`` independent
+  ±1 hash projections zᵣ = Σᵥ fᵥ·sᵣ(v), estimate = median(zᵣ²),
+  reported next to the exact F₂ with the realized relative error —
+  the error-contract pattern (``approx_distinct``,
+  ``minhash_est_error``) applied to join-size estimation.
 
-House contract: DuckDB value-hash oracle with identical aliases,
-self-registration into queries.QUERIES / ORACLES on import, semantics
-tests plus physical-plan assertions in tests/test_distfit_wave.py.
+House contract: DuckDB value-hash oracle with identical aliases (the
+SQL is a shared dialect-switched builder, so both engines run the
+same text modulo type/function spellings), self-registration into
+queries.QUERIES / ORACLES on import, semantics tests plus plan
+assertions in tests/test_distfit_wave.py.
 
-Cross-engine float policy (the corr_matrix / zipf_fit doctrine):
-``wasserstein_1d`` and ``trimmed_stats`` are integer-exact end to
-end; ``eb_shrinkage`` rates and ``cvm_expfit`` terms are micro-
-quantized BEFORE their cross-row sums; remaining statistics are
-row-local IEEE on exact integers.  BIGINT headroom: cum·n products
-and g(k) ~ (4/3)k³ cap exact arithmetic near ~10⁶ observations (the
-mannwhitney_u note; DECIMAL(38,0) past that).
+Cross-engine float policy: power sums, deviation products, signed
+sketch sums and frequency counts are exact DECIMAL(38,0)/BIGINT;
+divisions, ln and sqrt finals are row-local IEEE on exact inputs,
+micro-quantized (floor(x·1e6+0.5)/1e6) or round(x, 6) at the surface.
 
-Scale notes: every cumulative here runs over a bounded VALUE
-HISTOGRAM (n_chars values / µs-delta histogram bucketed by the
-``interarrival_expfit`` two-level scheme) or a ≤``_PT_D``-row depth
-frame; ``eb_shrinkage`` is one per-source agg + a 1-row prior
-broadcast back.
+Scale notes: ``jarque_bera`` / ``dickey_fuller`` / ``sax_symbols``
+collapse the event scan to the ≤ #days frame before any window;
+``randomized_response`` is one map-side hash projection + a k-row
+broadcast join + a k-row aggregate; ``f2_ams_sketch`` is one
+partial-agg token count + one 1-row reduce carrying _F2_R signed sums
+simultaneously (the sketch state is R numbers regardless of corpus
+size — that is the point).
 
 Reference parity: axis-B net-new corpus ops (the reference
 Bodhi42/Occular-ocr engine is per-document OCR only; SURVEY.md §2,
@@ -60,621 +59,362 @@ Bodhi42/Occular-ocr engine is per-document OCR only; SURVEY.md §2,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from . import queries as _q
-from .queries import _t
 
-# prefix-tree max depth
-_PT_D = 8
-
-# trimmed-stats trim fraction numerator (10%)
-_TS_PCT = 10
-
-# cvm two-level bucket width (10 s of microseconds)
-_CVM_BUCKET = 10_000_000
+_SAX_W = 8
+_F2_R = 5
+_RR_SEED = "rr"
+_DF_CRIT_5PCT = -2.86
 
 
-# ---------------------------------------------------------------------------
-# wasserstein_1d — exact W1 between en and non-en length distributions
-# ---------------------------------------------------------------------------
+def _dec(dialect: str) -> str:
+    return "DECIMAL(38,0)"
 
 
-def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 1-D Wasserstein distance, en vs non-en doc length.
-
-    On the merged value histogram, W₁·n_A·n_B =
-    Σ_v |cumA(v)·n_B − cumB(v)·n_A| · (next(v) − v) — every term an
-    exact BIGINT; the single division at the end is micro-rounded.
-
-    Scale: one value-histogram partial agg, one bounded cumulative +
-    lead window over it, one 1-row reduce.
-    """
-    hist = (
-        _t(spark, sf_dir, "documents")
-        .groupBy(F.col("n_chars").alias("v"))
-        .agg(
-            F.sum((F.col("lang") == "en").cast("bigint"))
-            .cast("bigint")
-            .alias("ca"),
-            F.sum((F.col("lang") != "en").cast("bigint"))
-            .cast("bigint")
-            .alias("cb"),
-        )
-    )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wl = Window.orderBy("v")
-    cum = (
-        hist.withColumn("cuma", F.sum("ca").over(wc).cast("bigint"))
-        .withColumn("cumb", F.sum("cb").over(wc).cast("bigint"))
-        .withColumn("na", F.sum("ca").over(Window.partitionBy()).cast("bigint"))
-        .withColumn("nb", F.sum("cb").over(Window.partitionBy()).cast("bigint"))
-        .withColumn("gap", (F.lead("v").over(wl) - F.col("v")).cast("bigint"))
-    )
-    agg = cum.where(F.col("gap").isNotNull()).groupBy().agg(
-        F.max("na").cast("bigint").alias("n_a"),
-        F.max("nb").cast("bigint").alias("n_b"),
-        F.sum(F.expr("abs(cuma * nb - cumb * na) * gap"))
-        .cast("bigint")
-        .alias("w1_scaled"),
-    )
-    return agg.select(
-        "n_a",
-        "n_b",
-        "w1_scaled",
-        F.expr(
-            """
-            CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0 ELSE
-              CAST(floor(CAST(w1_scaled AS DOUBLE)
-                / (CAST(n_a AS DOUBLE) * n_b) * 1e6 + 0.5) AS BIGINT)
-                / 1e6
-            END
-            """
-        ).alias("w1"),
-    )
+def _str_t(dialect: str) -> str:
+    return "STRING" if dialect == "spark" else "VARCHAR"
 
 
-ORACLE_WASSERSTEIN_1D = """
-WITH hist AS (
-  SELECT n_chars AS v,
-         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-           AS ca,
-         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
-           AS cb
-  FROM documents GROUP BY 1),
-cum AS (
-  SELECT v,
-         CAST(sum(ca) OVER (ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS cuma,
-         CAST(sum(cb) OVER (ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS cumb,
-         CAST(sum(ca) OVER () AS BIGINT) AS na,
-         CAST(sum(cb) OVER () AS BIGINT) AS nb,
-         CAST(lead(v) OVER (ORDER BY v) - v AS BIGINT) AS gap
-  FROM hist),
-agg AS (
-  SELECT CAST(max(na) AS BIGINT) AS n_a,
-         CAST(max(nb) AS BIGINT) AS n_b,
-         CAST(sum(abs(cuma * nb - cumb * na) * gap) AS BIGINT)
-           AS w1_scaled
-  FROM cum WHERE gap IS NOT NULL)
-SELECT n_a, n_b, w1_scaled,
-       CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0 ELSE
-         CAST(floor(CAST(w1_scaled AS DOUBLE)
-           / (CAST(n_a AS DOUBLE) * n_b) * 1e6 + 0.5) AS BIGINT) / 1e6
-       END AS w1
-FROM agg
+def _hexd(expr: str, j: int) -> str:
+    """Value 0-15 of hex digit ``j`` (1-based) of md5(expr)."""
+    return f"(instr('0123456789abcdef', substr(md5({expr}), {j}, 1)) - 1)"
+
+
+_DAILY_SQL = """
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DECIMAL(38,0)) AS x
+  FROM events GROUP BY 1)
 """
 
 
 # ---------------------------------------------------------------------------
-# eb_shrinkage — Beta-MoM empirical-Bayes shrinkage of en rates
+# jarque_bera
 # ---------------------------------------------------------------------------
 
 
-def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source en-rate shrinkage under a Beta MoM prior.
+def _jarque_bera_sql(dialect: str) -> str:
+    return f"""
+WITH {_DAILY_SQL},
+s AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(x) AS s1, sum(x * x) AS s2,
+         sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+  FROM daily),
+m AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2,
+         CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS DOUBLE)
+           AS m3,
+         CAST(n * n * n * s4 - 4 * n * n * s3 * s1
+              + 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+           AS m4
+  FROM s)
+SELECT n_days,
+       CASE WHEN m2 <= 0 THEN 0.0
+            ELSE round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+       CASE WHEN m2 <= 0 THEN 0.0
+            ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess,
+       CASE WHEN m2 <= 0 THEN 0.0
+            ELSE round(CAST(n_days AS DOUBLE) / 6.0 *
+                   (  (m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                      / 4.0), 6) END AS jb_stat
+FROM m
+"""
 
-    Rates micro-quantize per source before the k-row moment sums;
-    prior mass M = m(1−m)/v − 1 (α = m·M) comes from the
-    across-source sample variance; shrunk = (e + α)/(n + M).  A
-    degenerate prior (v ≤ 0 or M ≤ 0) falls back to zero shrinkage
-    (shrunk = raw), documented.
 
-    Scale: one per-source agg (k rows), one 1-row prior broadcast
-    back onto the k rows.
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of the daily event-count series.
+
+    Skewness g₁ = m₃/m₂^1.5 and excess kurtosis g₂ = m₄/m₂²−3 come
+    from the exact DECIMAL power-sum polynomials (one partial-agg pass
+    over the ≤ #days frame); JB = n/6·(g₁² + g₂²/4) is row-local
+    double arithmetic on those exact inputs.  Degenerate (zero-
+    variance) series report all-zero, documented.
+
+    Scale: the event scan collapses to #days rows before anything
+    else; the moment pass is one 1-row reduce.
     """
-    per = (
-        _t(spark, sf_dir, "documents")
-        .groupBy(F.coalesce("source", F.lit("")).alias("source"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_s"),
-            F.sum((F.col("lang") == "en").cast("bigint"))
-            .cast("bigint")
-            .alias("e_s"),
-        )
-        .withColumn(
-            "rq",
-            F.expr(
-                "CAST(floor(CAST(e_s AS DOUBLE) / n_s * 1e6 + 0.5)"
-                " AS BIGINT)"
-            ),
-        )
-    )
-    prior = per.groupBy().agg(
-        F.count("*").cast("bigint").alias("k"),
-        F.sum("rq").cast("bigint").alias("s1"),
-        F.sum(F.expr("rq * rq")).cast("bigint").alias("s2"),
-    )
-    mraw = (
-        "(CAST(s1 AS DOUBLE) / k / 1e6)"
-        " * (1.0 - CAST(s1 AS DOUBLE) / k / 1e6)"
-        " / (CAST(k * s2 - s1 * s1 AS DOUBLE)"
-        " / (CAST(k AS DOUBLE) * (k - 1)) / 1e12) - 1.0"
-    )
-    return (
-        per.crossJoin(F.broadcast(prior))
-        .select(
-            "source",
-            "n_s",
-            "e_s",
-            "rq",
-            F.expr(
-                f"""
-                CASE WHEN k < 2 OR k * s2 - s1 * s1 <= 0
-                    OR {mraw} <= 0 THEN 0
-                ELSE CAST(floor(({mraw}) * 1e6 + 0.5) AS BIGINT)
-                END
-                """
-            ).alias("mq"),
-            F.expr(
-                f"""
-                CASE WHEN k < 2 OR k * s2 - s1 * s1 <= 0
-                    OR {mraw} <= 0 THEN 0
-                ELSE CAST(floor((CAST(s1 AS DOUBLE) / k / 1e6)
-                  * (CAST(floor(({mraw}) * 1e6 + 0.5) AS BIGINT) / 1e6)
-                  * 1e6 + 0.5) AS BIGINT)
-                END
-                """
-            ).alias("aq"),
-        )
-        .select(
-            "source",
-            "n_s",
-            "e_s",
-            F.expr("rq / 1e6").alias("rate"),
-            F.expr("mq / 1e6").alias("prior_mass"),
-            F.expr(
-                """
-                CASE WHEN mq = 0 THEN rq / 1e6 ELSE
-                  CAST(floor(CAST(e_s * 1000000 + aq AS DOUBLE)
-                    / (n_s * 1000000 + mq) * 1e6 + 0.5) AS BIGINT) / 1e6
-                END
-                """
-            ).alias("shrunk_rate"),
-        )
-        .orderBy("source")
-    )
+    _q._register_views(spark, sf_dir, ["events"])
+    return spark.sql(_jarque_bera_sql("spark"))
 
 
-def _eb_oracle() -> str:
-    mraw = (
-        "(CAST(s1 AS DOUBLE) / k / 1e6)"
-        " * (1.0 - CAST(s1 AS DOUBLE) / k / 1e6)"
-        " / (CAST(k * s2 - s1 * s1 AS DOUBLE)"
-        " / (CAST(k AS DOUBLE) * (k - 1)) / 1e12) - 1.0"
+# ---------------------------------------------------------------------------
+# dickey_fuller
+# ---------------------------------------------------------------------------
+
+
+def _dickey_fuller_sql(dialect: str) -> str:
+    return f"""
+WITH {_DAILY_SQL},
+idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x
+  FROM daily),
+pair AS (
+  SELECT b.x AS xl, a.x - b.x AS dy
+  FROM idx a JOIN idx b ON b.t = a.t - 1),
+s AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(xl) AS sx, sum(dy) AS sy,
+         sum(xl * xl) AS sxx, sum(xl * dy) AS sxy, sum(dy * dy) AS syy
+  FROM pair),
+dev AS (
+  SELECT CAST(n AS BIGINT) AS n_obs,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS dxy,
+         CAST(n * syy - sy * sy AS DOUBLE) AS dyy
+  FROM s),
+fit AS (
+  SELECT n_obs, dxx, dyy,
+         CASE WHEN dxx = 0 THEN 0.0 ELSE dxy / dxx END AS gamma,
+         CASE WHEN dxx = 0 THEN 0.0 ELSE dxy END AS dxy_g
+  FROM dev),
+tt AS (
+  SELECT n_obs, gamma,
+         CASE WHEN dxx = 0 OR n_obs <= 2 THEN 0.0
+              ELSE (dyy - gamma * dxy_g) / CAST(n_obs AS DOUBLE)
+                   / CAST(n_obs - 2 AS DOUBLE) END AS s2,
+         dxx
+  FROM fit)
+SELECT n_obs,
+       CAST(floor(gamma * 1e6 + 0.5) AS BIGINT) / 1e6 AS gamma,
+       CASE WHEN dxx = 0 OR s2 <= 0 THEN 0.0
+            ELSE CAST(floor(gamma / sqrt(s2 * CAST(n_obs AS DOUBLE) / dxx)
+                   * 1e6 + 0.5) AS BIGINT) / 1e6 END AS t_stat,
+       CASE WHEN dxx = 0 OR s2 <= 0 THEN false
+            ELSE gamma / sqrt(s2 * CAST(n_obs AS DOUBLE) / dxx)
+                 < {_DF_CRIT_5PCT} END AS unit_root_rejected
+FROM tt
+"""
+
+
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (with constant) of the daily
+    series: Δyₜ = α + γ·yₜ₋₁ + ε fitted by exact deviation sums over
+    lag-adjacent pairs, t = γ̂/se(γ̂), rejected when t < −2.86 (the 5%
+    DF critical value with constant).  γ̂ near 0 with a deep-negative
+    t means mean-reverting; failing to reject flags a drifting
+    (integrated) volume series that invalidates the fixed-trend ops.
+
+    Scale: the lag pairing is a self-join on the ≤ #days frame (t ↔
+    t−1), then one 1-row moment reduce; nothing row-shaped is ever
+    globally ordered.
+    """
+    _q._register_views(spark, sf_dir, ["events"])
+    return spark.sql(_dickey_fuller_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# sax_symbols
+# ---------------------------------------------------------------------------
+
+
+def _sax_sql(dialect: str) -> str:
+    intdiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH {_DAILY_SQL},
+idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x
+  FROM daily),
+tot AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n, sum(x) AS s1,
+         sum(x * x) AS s2
+  FROM idx),
+z AS (
+  SELECT CAST((t - 1) * {_SAX_W} {intdiv} CAST(n AS BIGINT) AS INT) AS seg,
+         n * x - s1 AS v, n * s2 - s1 * s1 AS m2
+  FROM idx, tot),
+seg AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n_days_seg,
+         sum(v) AS sv, max(m2) AS m2
+  FROM z GROUP BY seg),
+paa AS (
+  SELECT seg, n_days_seg,
+         CASE WHEN m2 <= 0 THEN 0.0
+              ELSE CAST(floor(CAST(sv AS DOUBLE)
+                     / CAST(n_days_seg AS DOUBLE)
+                     / sqrt(CAST(m2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                   / 1e6 END AS paa
+  FROM seg)
+SELECT seg, n_days_seg, paa,
+       CASE WHEN paa < -0.6745 THEN 'a'
+            WHEN paa < 0.0 THEN 'b'
+            WHEN paa < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM paa
+ORDER BY seg
+"""
+
+
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily series: exact z-scores
+    zₜ = (n·xₜ−S)/√(n·Σx²−S²), piecewise-aggregate approximation over
+    ``_SAX_W`` equal segments (integer division on the day index), and
+    the 4-letter Gaussian alphabet a|b|c|d at breakpoints ±0.6745, 0
+    applied to the micro-quantized PAA (so the letter boundary is
+    bit-identical cross-engine).
+
+    Scale: per-day partial agg → one ≤ #days window for the index →
+    an 8-row segment aggregate.  At 100 TB the output is still 8 rows.
+    """
+    _q._register_views(spark, sf_dir, ["events"])
+    return spark.sql(_sax_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# randomized_response
+# ---------------------------------------------------------------------------
+
+
+def _rr_sql(dialect: str) -> str:
+    st = _str_t(dialect)
+    did = f"CAST(doc_id AS {st}) || ':{_RR_SEED}'"
+    h_coin = f"({_hexd(did, 1)} * 16 + {_hexd(did, 2)})"
+    h_repl = f"({_hexd(did, 3)} * 16 + {_hexd(did, 4)})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(lang, '') AS lang FROM documents),
+dim AS (
+  SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS INT) AS rk
+  FROM (SELECT DISTINCT lang FROM base)),
+kk AS (SELECT CAST(count(*) AS INT) AS k FROM dim),
+rep AS (
+  SELECT CASE WHEN {h_coin} < 192 THEN b.lang ELSE d.lang END AS rlang
+  FROM base b
+  JOIN kk ON 1 = 1
+  JOIN dim d ON d.rk = ({h_repl} % kk.k) + 1),
+rcnt AS (SELECT rlang, CAST(count(*) AS BIGINT) AS rep_cnt
+         FROM rep GROUP BY rlang),
+tcnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_cnt
+         FROM base GROUP BY lang),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+est AS (
+  SELECT t.lang, coalesce(r.rep_cnt, 0) AS rep_cnt, t.true_cnt,
+         (CAST(coalesce(r.rep_cnt, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+          - 0.25 / CAST(k AS DOUBLE)) / 0.75 AS est_raw,
+         CAST(t.true_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS true_f,
+         CAST(k AS DOUBLE) AS kd
+  FROM tcnt t
+  LEFT JOIN rcnt r ON r.rlang = t.lang
+  CROSS JOIN tot CROSS JOIN kk)
+SELECT lang, rep_cnt,
+       CAST(floor(est_raw * 1e6 + 0.5) AS BIGINT) / 1e6 AS est_freq,
+       CAST(floor(true_f * 1e6 + 0.5) AS BIGINT) / 1e6 AS true_freq,
+       CAST(floor(abs(est_raw - true_f) * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS abs_err,
+       CAST(floor(ln((0.75 + 0.25 / kd) / (0.25 / kd)) * 1e6 + 0.5)
+         AS BIGINT) / 1e6 AS epsilon
+FROM est
+ORDER BY lang
+"""
+
+
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP randomized response over ``documents.lang``: each row
+    reports its true label with p = 3/4 (hash coin: first md5 byte
+    < 192) else the label whose dense rank is (second md5 byte mod k)
+    — both coins from the portable md5-hex trick, so the mechanism is
+    deterministic and bit-identical on both engines.  The de-biased
+    estimator π̂ᵥ = (fᵥ − (1−p)/k)/p is reported against the true
+    frequency with the realized |error| and the ε budget
+    ln((p+(1−p)/k)/((1−p)/k)) the mechanism spends.
+
+    Scale: one map-side hash projection, a k-row broadcast dim join
+    (k = #labels), two k-row aggregates; nothing shuffles wider than
+    the label domain.
+    """
+    _q._register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_rr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# f2_ams_sketch
+# ---------------------------------------------------------------------------
+
+
+def _f2_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = (
+            "SELECT tok FROM documents "
+            "LATERAL VIEW explode(filter(split(coalesce(text, ''), ' '),"
+            " x -> x <> '')) tk AS tok"
+        )
+        median = "element_at(array_sort(array({vals})), 3)"
+    else:
+        toks = (
+            "SELECT unnest(list_filter(string_split(coalesce(text, ''), ' ')"
+            ", x -> x <> '')) AS tok FROM documents"
+        )
+        median = "list_sort([{vals}])[3]"
+    signs = ", ".join(
+        f"sum(f * s{r}) AS z{r}" for r in range(1, _F2_R + 1)
+    )
+    sign_cols = ", ".join(
+        "CAST(2 * ({h} % 2) - 1 AS DECIMAL(38,0)) AS s{r}".format(
+            h=_hexd("tok || ':f2:{}'".format(r), 1), r=r
+        )
+        for r in range(1, _F2_R + 1)
+    )
+    med = median.format(
+        vals=", ".join(
+            f"CAST(z{r} * z{r} AS BIGINT)" for r in range(1, _F2_R + 1)
+        )
     )
     return f"""
-WITH per AS (
-  SELECT coalesce(source, '') AS source,
-         CAST(count(*) AS BIGINT) AS n_s,
-         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-           AS e_s,
-         CAST(floor(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*) * 1e6 + 0.5) AS BIGINT) AS rq
-  FROM documents GROUP BY 1),
-prior AS (
-  SELECT CAST(count(*) AS BIGINT) AS k,
-         CAST(sum(rq) AS BIGINT) AS s1,
-         CAST(sum(rq * rq) AS BIGINT) AS s2
-  FROM per),
-mid AS (
-  SELECT source, n_s, e_s, rq,
-         CASE WHEN k < 2 OR k * s2 - s1 * s1 <= 0
-             OR {mraw} <= 0 THEN 0
-         ELSE CAST(floor(({mraw}) * 1e6 + 0.5) AS BIGINT)
-         END AS mq,
-         CASE WHEN k < 2 OR k * s2 - s1 * s1 <= 0
-             OR {mraw} <= 0 THEN 0
-         ELSE CAST(floor((CAST(s1 AS DOUBLE) / k / 1e6)
-           * (CAST(floor(({mraw}) * 1e6 + 0.5) AS BIGINT) / 1e6)
-           * 1e6 + 0.5) AS BIGINT)
-         END AS aq
-  FROM per, prior)
-SELECT source, n_s, e_s,
-       rq / 1e6 AS rate,
-       mq / 1e6 AS prior_mass,
-       CASE WHEN mq = 0 THEN rq / 1e6 ELSE
-         CAST(floor(CAST(e_s * 1000000 + aq AS DOUBLE)
-           / (n_s * 1000000 + mq) * 1e6 + 0.5) AS BIGINT) / 1e6
-       END AS shrunk_rate
-FROM mid ORDER BY source
-"""
-
-
-ORACLE_EB_SHRINKAGE = _eb_oracle()
-
-
-# ---------------------------------------------------------------------------
-# prefix_tree_stats — vocabulary trie branching profile
-# ---------------------------------------------------------------------------
-
-
-def q_prefix_tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trie profile of the token type vocabulary at depths
-    1..``_PT_D``: distinct prefixes, covered types (len ≥ d), exact
-    ends (len = d), and the fan-out ratio vs depth d−1 (a lag over
-    the ≤``_PT_D``-row depth frame).
-
-    Scale: one type-table pass, a ``_PT_D``× explode, per-depth
-    partial aggs, one bounded lag window.
-    """
-    types = (
-        _t(spark, sf_dir, "documents")
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(split(coalesce(text, ''), ' '), x -> x <> '')"
-                )
-            ).alias("tok")
-        )
-        .distinct()
-    )
-    per = (
-        types.select(
-            F.explode(F.expr(f"sequence(1, {_PT_D})")).alias("depth"),
-            "tok",
-        )
-        .where(F.expr("length(tok) >= depth"))
-        .select(
-            "depth",
-            F.expr("substring(tok, 1, depth)").alias("pfx"),
-            F.expr("CASE WHEN length(tok) = depth THEN 1 ELSE 0 END")
-            .cast("bigint")
-            .alias("ends"),
-        )
-        .groupBy("depth")
-        .agg(
-            F.countDistinct("pfx").cast("bigint").alias("n_prefixes"),
-            F.count("*").cast("bigint").alias("n_types_covered"),
-            F.sum("ends").cast("bigint").alias("n_exact_ends"),
-        )
-    )
-    wl = Window.orderBy("depth")
-    return (
-        per.withColumn(
-            "prev", F.lag("n_prefixes").over(wl).cast("bigint")
-        )
-        .select(
-            "depth",
-            "n_prefixes",
-            "n_types_covered",
-            "n_exact_ends",
-            F.expr(
-                """
-                CASE WHEN prev IS NULL OR prev = 0 THEN 0.0 ELSE
-                  CAST(floor(CAST(n_prefixes AS DOUBLE) / prev * 1e6
-                    + 0.5) AS BIGINT) / 1e6
-                END
-                """
-            ).alias("fanout"),
-        )
-        .orderBy("depth")
-    )
-
-
-ORACLE_PREFIX_TREE_STATS = f"""
-WITH types AS (
-  SELECT DISTINCT unnest(list_filter(
-    string_split(coalesce(text, ''), ' '), x -> x <> '')) AS tok
-  FROM documents),
-per AS (
-  SELECT depth,
-         CAST(count(DISTINCT substring(tok, 1, depth)) AS BIGINT)
-           AS n_prefixes,
-         CAST(count(*) AS BIGINT) AS n_types_covered,
-         CAST(sum(CASE WHEN length(tok) = depth THEN 1 ELSE 0 END)
-           AS BIGINT) AS n_exact_ends
-  FROM types
-  CROSS JOIN (SELECT unnest(range(1, {_PT_D + 1})) AS depth)
-  WHERE length(tok) >= depth
-  GROUP BY depth)
-SELECT depth, n_prefixes, n_types_covered, n_exact_ends,
-       CASE WHEN lag(n_prefixes) OVER (ORDER BY depth) IS NULL
-              OR lag(n_prefixes) OVER (ORDER BY depth) = 0 THEN 0.0
-       ELSE CAST(floor(CAST(n_prefixes AS DOUBLE)
-         / lag(n_prefixes) OVER (ORDER BY depth) * 1e6 + 0.5)
-         AS BIGINT) / 1e6
-       END AS fanout
-FROM per ORDER BY depth
-"""
-
-
-# ---------------------------------------------------------------------------
-# trimmed_stats — exact trimmed and winsorized means from the histogram
-# ---------------------------------------------------------------------------
-
-
-def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 10%-trimmed and winsorized means of n_chars.
-
-    With k = ⌊n/10⌋ the kept rank window is [k+1, n−k]; each
-    histogram value keeps max(0, min(cum, hi) − max(cum−m+1, lo) + 1)
-    of its mass — integer interval overlap — so the trimmed sum is
-    exact.  Winsorizing adds k·v_lo + k·v_hi with the boundary order
-    statistics.  All BIGINT until the final micro divisions.
-
-    Scale: one value-histogram partial agg + one bounded cumulative
-    window + a 1-row reduce.
-    """
-    hist = (
-        _t(spark, sf_dir, "documents")
-        .groupBy(F.col("n_chars").alias("v"))
-        .agg(F.count("*").cast("bigint").alias("m"))
-    )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("m").over(wc).cast("bigint")).withColumn(
-        "n", F.sum("m").over(Window.partitionBy()).cast("bigint")
-    )
-    agg = cum.groupBy().agg(
-        F.max("n").cast("bigint").alias("n"),
-        F.sum(F.expr("m * v")).cast("bigint").alias("s_all"),
-        F.sum(
-            F.expr(
-                f"""
-                greatest(0, least(cum, n - n DIV {_TS_PCT})
-                  - greatest(cum - m + 1, n DIV {_TS_PCT} + 1) + 1) * v
-                """
-            )
-        )
-        .cast("bigint")
-        .alias("s_trim"),
-        F.min(
-            F.expr(f"CASE WHEN cum >= n DIV {_TS_PCT} + 1 THEN v END")
-        )
-        .cast("bigint")
-        .alias("v_lo"),
-        F.min(
-            F.expr(f"CASE WHEN cum >= n - n DIV {_TS_PCT} THEN v END")
-        )
-        .cast("bigint")
-        .alias("v_hi"),
-    )
-    return agg.select(
-        "n",
-        F.expr(f"n DIV {_TS_PCT}").cast("bigint").alias("k_trim"),
-        "v_lo",
-        "v_hi",
-        F.expr(
-            "CAST(floor(CAST(s_all AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)"
-            " / 1e6"
-        ).alias("mean"),
-        F.expr(
-            f"""
-            CASE WHEN n - 2 * (n DIV {_TS_PCT}) <= 0 THEN 0.0 ELSE
-              CAST(floor(CAST(s_trim AS DOUBLE)
-                / (n - 2 * (n DIV {_TS_PCT})) * 1e6 + 0.5) AS BIGINT)
-                / 1e6
-            END
-            """
-        ).alias("trimmed_mean"),
-        F.expr(
-            f"""
-            CAST(floor(CAST(s_trim + (n DIV {_TS_PCT}) * v_lo
-              + (n DIV {_TS_PCT}) * v_hi AS DOUBLE) / n * 1e6 + 0.5)
-              AS BIGINT) / 1e6
-            """
-        ).alias("winsorized_mean"),
-    )
-
-
-ORACLE_TRIMMED_STATS = f"""
-WITH hist AS (
-  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS m
-  FROM documents GROUP BY 1),
-cum AS (
-  SELECT v, m,
-         CAST(sum(m) OVER (ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS cum,
-         CAST(sum(m) OVER () AS BIGINT) AS n
-  FROM hist),
+WITH toks AS ({toks}),
+freq AS (
+  SELECT tok, CAST(count(*) AS DECIMAL(38,0)) AS f
+  FROM toks GROUP BY tok),
+signed AS (
+  SELECT f, {sign_cols} FROM freq),
 agg AS (
-  SELECT CAST(max(n) AS BIGINT) AS n,
-         CAST(sum(m * v) AS BIGINT) AS s_all,
-         CAST(sum(greatest(0, least(cum, n - n // {_TS_PCT})
-             - greatest(cum - m + 1, n // {_TS_PCT} + 1) + 1) * v)
-           AS BIGINT) AS s_trim,
-         CAST(min(CASE WHEN cum >= n // {_TS_PCT} + 1 THEN v END)
-           AS BIGINT) AS v_lo,
-         CAST(min(CASE WHEN cum >= n - n // {_TS_PCT} THEN v END)
-           AS BIGINT) AS v_hi
-  FROM cum)
-SELECT n, CAST(n // {_TS_PCT} AS BIGINT) AS k_trim, v_lo, v_hi,
-       CAST(floor(CAST(s_all AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
-         / 1e6 AS mean,
-       CASE WHEN n - 2 * (n // {_TS_PCT}) <= 0 THEN 0.0 ELSE
-         CAST(floor(CAST(s_trim AS DOUBLE)
-           / (n - 2 * (n // {_TS_PCT})) * 1e6 + 0.5) AS BIGINT) / 1e6
-       END AS trimmed_mean,
-       CAST(floor(CAST(s_trim + (n // {_TS_PCT}) * v_lo
-         + (n // {_TS_PCT}) * v_hi AS DOUBLE) / n * 1e6 + 0.5)
-         AS BIGINT) / 1e6 AS winsorized_mean
-FROM agg
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens_distinct,
+         CAST(sum(f * f) AS BIGINT) AS exact_f2, {signs}
+  FROM signed),
+med AS (
+  SELECT n_tokens_distinct, exact_f2, {med} AS f2_est FROM agg)
+SELECT n_tokens_distinct, exact_f2, f2_est,
+       CASE WHEN exact_f2 = 0 THEN 0.0
+            ELSE CAST(floor(abs(CAST(f2_est AS DOUBLE)
+                   - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE)
+                   * 1e6 + 0.5) AS BIGINT) / 1e6 END AS rel_err
+FROM med
 """
 
 
-# ---------------------------------------------------------------------------
-# cvm_expfit — Cramér–von Mises W² of inter-arrival deltas vs exp fit
-# ---------------------------------------------------------------------------
+def q_f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F₂ (self-join size) estimate of the token
+    stream: ``_F2_R`` independent ±1 hash projections (sign = parity
+    of the first md5 hex digit of tok:'f2':r), zᵣ = Σᵥ fᵥ·sᵣ(v),
+    estimate = median(zᵣ²), reported next to the exact F₂ = Σ fᵥ² and
+    the realized relative error — the error-contract surface the
+    oracle pins, same doctrine as ``approx_distinct``.
 
-
-def q_cvm_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W² = Σ(F(x_(i)) − (2i−1)/(2n))² + 1/(12n) against the fitted
-    exponential, tie-safe: a value with m ties after c smaller obs
-    contributes m·F² − F·m(2c+m)/n + (g(c+m)−g(c))/(4n²) with
-    g(k) = k(4k²−1)/3 — all integer inputs; per-value terms are
-    micro-quantized before the sum.  Cumulatives use the
-    ``interarrival_expfit`` two-level bucket scheme.
-
-    Scale: one user-partitioned lead window, a delta-histogram
-    partial agg, the bounded #buckets offset window + bucket-
-    partitioned within-window, one 1-row reduce.
+    Scale: one partial-agg token count, then ONE 1-row reduce carrying
+    all R signed sums and the exact F₂ simultaneously; sketch state is
+    R numbers regardless of corpus size (estimating self-join size
+    without ever joining is the reason AMS exists).
     """
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).cast("bigint").alias("us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    hist = (
-        ev.withColumn("dt", F.lead("us").over(w) - F.col("us"))
-        .where(F.col("dt") > 0)
-        .groupBy("dt")
-        .agg(F.count("*").cast("bigint").alias("m"))
-        .withColumn("bucket", F.expr(f"dt DIV {_CVM_BUCKET}"))
-    )
-    wb = Window.partitionBy().orderBy("bucket")
-    bucket_tot = hist.groupBy("bucket").agg(
-        F.sum("m").cast("bigint").alias("tm"),
-        F.sum(F.expr("dt * m")).cast("bigint").alias("tsx"),
-    )
-    offs = bucket_tot.select(
-        "bucket",
-        F.coalesce(
-            F.sum("tm").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("off"),
-        F.sum("tm").over(Window.partitionBy()).cast("bigint").alias("n"),
-        F.sum("tsx").over(Window.partitionBy()).cast("bigint").alias("sx"),
-    )
-    wv = (
-        Window.partitionBy("bucket")
-        .orderBy("dt")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    per_v = hist.join(F.broadcast(offs), "bucket").select(
-        "dt",
-        "m",
-        "n",
-        "sx",
-        (F.col("off") + F.sum("m").over(wv) - F.col("m"))
-        .cast("bigint")
-        .alias("c"),
-    )
-    term = per_v.select(
-        "n",
-        "sx",
-        F.expr(
-            """
-            CAST(floor((
-              m * (1.0 - exp(-(CAST(n AS DOUBLE) / sx) * dt))
-                  * (1.0 - exp(-(CAST(n AS DOUBLE) / sx) * dt))
-              - (1.0 - exp(-(CAST(n AS DOUBLE) / sx) * dt))
-                  * CAST(m * (2 * c + m) AS DOUBLE) / n
-              + CAST((c + m) * (4 * (c + m) * (c + m) - 1) / 3
-                     - c * (4 * c * c - 1) / 3 AS DOUBLE)
-                / (4.0 * n * n)
-            ) * 1e9 + 0.5) AS BIGINT)
-            """
-        ).alias("t_u"),
-    )
-    agg = term.groupBy().agg(
-        F.max("n").cast("bigint").alias("n_intervals"),
-        F.max("sx").cast("bigint").alias("sx"),
-        F.sum("t_u").cast("bigint").alias("t_sum"),
-    )
-    return agg.select(
-        "n_intervals",
-        F.expr(
-            """
-            CAST(floor(CAST(n_intervals AS DOUBLE) / sx * 1e6 * 1e6 + 0.5)
-              AS BIGINT) / 1e6
-            """
-        ).alias("lambda_per_sec"),
-        F.expr(
-            """
-            CAST(floor((CAST(t_sum AS DOUBLE) / 1e9
-              + 1.0 / (12.0 * n_intervals)) * 1e6 + 0.5) AS BIGINT) / 1e6
-            """
-        ).alias("w2"),
-    )
-
-
-ORACLE_CVM_EXPFIT = """
-WITH ev AS (
-  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-dts AS (
-  SELECT lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-           - us AS dt
-  FROM ev),
-hist AS (
-  SELECT dt, CAST(count(*) AS BIGINT) AS m
-  FROM dts WHERE dt > 0 GROUP BY dt),
-tot AS (
-  SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(dt * m) AS BIGINT) AS sx
-  FROM hist),
-cums AS (
-  SELECT dt, m, n, sx,
-         CAST(sum(m) OVER (ORDER BY dt
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - m AS BIGINT) AS c
-  FROM hist, tot),
-term AS (
-  SELECT n, sx,
-         CAST(floor((
-           m * (1.0 - exp(-(CAST(n AS DOUBLE) / sx) * dt))
-               * (1.0 - exp(-(CAST(n AS DOUBLE) / sx) * dt))
-           - (1.0 - exp(-(CAST(n AS DOUBLE) / sx) * dt))
-               * CAST(m * (2 * c + m) AS DOUBLE) / n
-           + CAST((c + m) * (4 * (c + m) * (c + m) - 1) // 3
-                  - c * (4 * c * c - 1) // 3 AS DOUBLE)
-             / (4.0 * n * n)
-         ) * 1e9 + 0.5) AS BIGINT) AS t_u
-  FROM cums),
-agg AS (
-  SELECT CAST(max(n) AS BIGINT) AS n_intervals,
-         CAST(max(sx) AS BIGINT) AS sx,
-         CAST(sum(t_u) AS BIGINT) AS t_sum
-  FROM term)
-SELECT n_intervals,
-       CAST(floor(CAST(n_intervals AS DOUBLE) / sx * 1e6 * 1e6 + 0.5)
-         AS BIGINT) / 1e6 AS lambda_per_sec,
-       CAST(floor((CAST(t_sum AS DOUBLE) / 1e9
-         + 1.0 / (12.0 * n_intervals)) * 1e6 + 0.5) AS BIGINT) / 1e6
-         AS w2
-FROM agg
-"""
+    _q._register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_f2_sql("spark"))
 
 
 DISTFIT_QUERIES = {
-    "wasserstein_1d": q_wasserstein_1d,
-    "eb_shrinkage": q_eb_shrinkage,
-    "prefix_tree_stats": q_prefix_tree_stats,
-    "trimmed_stats": q_trimmed_stats,
-    "cvm_expfit": q_cvm_expfit,
+    "jarque_bera": q_jarque_bera,
+    "dickey_fuller": q_dickey_fuller,
+    "sax_symbols": q_sax_symbols,
+    "randomized_response": q_randomized_response,
+    "f2_ams_sketch": q_f2_ams_sketch,
 }
 
 DISTFIT_ORACLES = {
-    "wasserstein_1d": ORACLE_WASSERSTEIN_1D,
-    "eb_shrinkage": ORACLE_EB_SHRINKAGE,
-    "prefix_tree_stats": ORACLE_PREFIX_TREE_STATS,
-    "trimmed_stats": ORACLE_TRIMMED_STATS,
-    "cvm_expfit": ORACLE_CVM_EXPFIT,
+    "jarque_bera": _jarque_bera_sql("duck"),
+    "dickey_fuller": _dickey_fuller_sql("duck"),
+    "sax_symbols": _sax_sql("duck"),
+    "randomized_response": _rr_sql("duck"),
+    "f2_ams_sketch": _f2_sql("duck"),
 }
 
 _q.QUERIES.update(DISTFIT_QUERIES)

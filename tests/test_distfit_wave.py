@@ -1,26 +1,27 @@
-"""Semantics tests for the wave-47 distfit entries: exact 1-D
-Wasserstein, empirical-Bayes rate shrinkage, vocabulary trie profile,
-exact trimmed/winsorized means, and the Cramér–von Mises exponential
-fit.  The DuckDB value-hash gate is scripts/check_queries.py; these
-pin each op against an independent single-node recomputation plus
-plan/property shapes."""
+"""Semantics tests for the wave-54 distribution-fit & sketch-audit
+entries: Jarque-Bera normality, Dickey-Fuller unit root, SAX
+symbolization, local-DP randomized response, and the AMS F2 sketch.
+The DuckDB value-hash gate is scripts/check_queries.py; these pin
+each op against an independent single-node recomputation plus plan /
+property shapes."""
 
 from __future__ import annotations
 
 import collections
 import contextlib
+import hashlib
 import io
 import math
 
 from occular_ocr_spark import queries as Q
 from occular_ocr_spark.queries_distfit import (
-    _PT_D,
-    _TS_PCT,
-    q_cvm_expfit,
-    q_eb_shrinkage,
-    q_prefix_tree_stats,
-    q_trimmed_stats,
-    q_wasserstein_1d,
+    _F2_R,
+    _SAX_W,
+    q_dickey_fuller,
+    q_f2_ams_sketch,
+    q_jarque_bera,
+    q_randomized_response,
+    q_sax_symbols,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -33,258 +34,239 @@ def _plan_of(df) -> str:
     return buf.getvalue()
 
 
-def _docs(spark):
-    return (
-        Q._t(spark, SF, "documents")
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .collect()
-    )
-
-
 def _micro(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
-# ---------------------------------------------------------------------------
-# wasserstein_1d
-# ---------------------------------------------------------------------------
-
-
-def test_wasserstein_matches_local(spark):
-    docs = _docs(spark)
-    a = sorted(r["n_chars"] for r in docs if r["lang"] == "en")
-    b = sorted(r["n_chars"] for r in docs if r["lang"] != "en")
-    na, nb = len(a), len(b)
-    vals = sorted(set(a) | set(b))
-    ca = cb = 0
-    ia = ib = 0
-    scaled = 0
-    for v, nxt in zip(vals, vals[1:]):
-        while ia < na and a[ia] <= v:
-            ia += 1
-        while ib < nb and b[ib] <= v:
-            ib += 1
-        scaled += abs(ia * nb - ib * na) * (nxt - v)
-    row = q_wasserstein_1d(spark, SF).collect()[0]
-    assert (row["n_a"], row["n_b"]) == (na, nb)
-    assert row["w1_scaled"] == scaled
-    assert row["w1"] == _micro(scaled / (na * nb))
-
-
-def test_wasserstein_vs_mean_gap(spark):
-    docs = _docs(spark)
-    a = [r["n_chars"] for r in docs if r["lang"] == "en"]
-    b = [r["n_chars"] for r in docs if r["lang"] != "en"]
-    row = q_wasserstein_1d(spark, SF).collect()[0]
-    # W1 dominates the difference of means in 1-D
-    assert row["w1"] >= abs(
-        sum(a) / len(a) - sum(b) / len(b)
-    ) - 1e-6
-    plan = _plan_of(q_wasserstein_1d(spark, SF))
-    assert "PythonUDF" not in plan
-
-
-# ---------------------------------------------------------------------------
-# eb_shrinkage
-# ---------------------------------------------------------------------------
-
-
-def test_eb_shrinkage_matches_local(spark):
-    per = collections.defaultdict(lambda: [0, 0])
-    for r in _docs(spark):
-        s = per[r["source"] or ""]
-        s[0] += 1
-        s[1] += 1 if r["lang"] == "en" else 0
-    rqs = {
-        g: math.floor(e / n * 1e6 + 0.5) for g, (n, e) in per.items()
-    }
-    k = len(per)
-    s1 = sum(rqs.values())
-    s2 = sum(r * r for r in rqs.values())
-    m = s1 / k / 1e6
-    v = (k * s2 - s1 * s1) / (k * (k - 1)) / 1e12
-    mraw = m * (1 - m) / v - 1.0
-    mq = 0 if (k < 2 or v <= 0 or mraw <= 0) else math.floor(mraw * 1e6 + 0.5)
-    aq = 0 if mq == 0 else math.floor(m * (mq / 1e6) * 1e6 + 0.5)
-    rows = q_eb_shrinkage(spark, SF).collect()
-    assert [r["source"] for r in rows] == sorted(per)
-    for r in rows:
-        n, e = per[r["source"]]
-        assert (r["n_s"], r["e_s"]) == (n, e)
-        assert r["rate"] == rqs[r["source"]] / 1e6
-        assert r["prior_mass"] == mq / 1e6
-        want = (
-            rqs[r["source"]] / 1e6
-            if mq == 0
-            else _micro((e * 1_000_000 + aq) / (n * 1_000_000 + mq))
-        )
-        assert r["shrunk_rate"] == want
-
-
-def test_eb_shrinkage_pulls_toward_grand_mean(spark):
-    rows = q_eb_shrinkage(spark, SF).collect()
-    if rows[0]["prior_mass"] == 0.0:
-        return  # degenerate prior: no shrinkage to assert
-    grand = sum(r["e_s"] for r in rows) / sum(r["n_s"] for r in rows)
-    for r in rows:
-        # shrunk sits between the raw rate and the prior mean side
-        lo, hi = sorted((r["rate"], grand))
-        assert lo - 0.01 <= r["shrunk_rate"] <= hi + 0.01
-    plan = _plan_of(q_eb_shrinkage(spark, SF))
-    assert "BroadcastExchange" in plan
-    assert "PythonUDF" not in plan
-
-
-# ---------------------------------------------------------------------------
-# prefix_tree_stats
-# ---------------------------------------------------------------------------
-
-
-def test_prefix_tree_matches_local(spark):
-    types = set()
-    for r in _docs(spark):
-        types.update(t for t in (r["text"] or "").split(" ") if t)
-    want = {}
-    prev = None
-    for d in range(1, _PT_D + 1):
-        covered = [t for t in types if len(t) >= d]
-        if not covered:
-            continue
-        pfx = {t[:d] for t in covered}
-        ends = sum(1 for t in covered if len(t) == d)
-        fan = (
-            0.0
-            if prev in (None, 0)
-            else _micro(len(pfx) / prev)
-        )
-        want[d] = (len(pfx), len(covered), ends, fan)
-        prev = len(pfx)
-    rows = q_prefix_tree_stats(spark, SF).collect()
-    got = {
-        r["depth"]: (
-            r["n_prefixes"],
-            r["n_types_covered"],
-            r["n_exact_ends"],
-            r["fanout"],
-        )
-        for r in rows
-    }
-    assert got == want
-
-
-def test_prefix_tree_monotone_and_plan(spark):
-    rows = q_prefix_tree_stats(spark, SF).collect()
-    cov = [r["n_types_covered"] for r in rows]
-    assert cov == sorted(cov, reverse=True)  # coverage shrinks with depth
-    plan = _plan_of(q_prefix_tree_stats(spark, SF))
-    assert "PythonUDF" not in plan
-
-
-# ---------------------------------------------------------------------------
-# trimmed_stats
-# ---------------------------------------------------------------------------
-
-
-def test_trimmed_matches_local(spark):
-    vs = sorted(r["n_chars"] for r in _docs(spark))
-    n = len(vs)
-    k = n // _TS_PCT
-    kept = vs[k : n - k]
-    v_lo, v_hi = vs[k], vs[n - k - 1]
-    row = q_trimmed_stats(spark, SF).collect()[0]
-    assert row["n"] == n
-    assert row["k_trim"] == k
-    assert (row["v_lo"], row["v_hi"]) == (v_lo, v_hi)
-    assert row["mean"] == _micro(sum(vs) / n)
-    assert row["trimmed_mean"] == _micro(sum(kept) / len(kept))
-    assert row["winsorized_mean"] == _micro(
-        (sum(kept) + k * v_lo + k * v_hi) / n
-    )
-
-
-def test_trimmed_robustness_ordering(spark):
-    row = q_trimmed_stats(spark, SF).collect()[0]
-    assert row["v_lo"] <= row["trimmed_mean"] <= row["v_hi"]
-    plan = _plan_of(q_trimmed_stats(spark, SF))
-    assert "PythonUDF" not in plan
-
-
-# ---------------------------------------------------------------------------
-# cvm_expfit
-# ---------------------------------------------------------------------------
-
-
-def _deltas(spark):
+def _daily_counts(spark):
     rows = (
         Q._t(spark, SF, "events")
-        .select("user_id", "ts", "event_id")
+        .selectExpr("CAST(ts AS DATE) AS day")
         .collect()
     )
-    by_user = collections.defaultdict(list)
-    for r in rows:
-        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
-    dts = []
-    for seq in by_user.values():
-        seq.sort()
-        for (a, _), (b, _) in zip(seq, seq[1:]):
-            td = b - a
-            us = (
-                td.days * 86_400_000_000
-                + td.seconds * 1_000_000
-                + td.microseconds
-            )
-            if us > 0:
-                dts.append(us)
-    return dts
+    cnt = collections.Counter(r["day"] for r in rows)
+    return [cnt[d] for d in sorted(cnt)]
 
 
-def test_cvm_matches_local(spark):
-    dts = _deltas(spark)
-    n, sx = len(dts), sum(dts)
-    hist = collections.Counter(dts)
+# ---------------------------------------------------------------------------
+# jarque_bera
+# ---------------------------------------------------------------------------
 
-    def g(kk):
-        return kk * (4 * kk * kk - 1) // 3
 
-    c = 0
-    tsum = 0
-    for v in sorted(hist):
-        m = hist[v]
-        fx = 1.0 - math.exp(-(n / sx) * v)
-        term = (
-            m * fx * fx
-            - fx * (m * (2 * c + m)) / n
-            + (g(c + m) - g(c)) / (4.0 * n * n)
+def test_jarque_bera_matches_local(spark):
+    xs = _daily_counts(spark)
+    n = len(xs)
+    s1 = sum(xs)
+    s2 = sum(x * x for x in xs)
+    s3 = sum(x**3 for x in xs)
+    s4 = sum(x**4 for x in xs)
+    m2 = float(n * s2 - s1 * s1)
+    m3 = float(n * n * s3 - 3 * n * s2 * s1 + 2 * s1**3)
+    m4 = float(n**3 * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1 - 3 * s1**4)
+    g1 = m3 / (m2 * math.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    row = q_jarque_bera(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["skewness"] == round(g1, 6)
+    assert row["kurtosis_excess"] == round(g2, 6)
+    assert row["jb_stat"] == round(jb, 6)
+    assert row["jb_stat"] >= 0.0
+
+
+def test_jarque_bera_single_scan(spark):
+    plan = _plan_of(q_jarque_bera(spark, SF))
+    assert plan.count("events.parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+# ---------------------------------------------------------------------------
+# dickey_fuller
+# ---------------------------------------------------------------------------
+
+
+def test_dickey_fuller_matches_local(spark):
+    xs = _daily_counts(spark)
+    pairs = [(xs[i - 1], xs[i] - xs[i - 1]) for i in range(1, len(xs))]
+    n = len(pairs)
+    sx = sum(p[0] for p in pairs)
+    sy = sum(p[1] for p in pairs)
+    sxx = sum(p[0] * p[0] for p in pairs)
+    sxy = sum(p[0] * p[1] for p in pairs)
+    syy = sum(p[1] * p[1] for p in pairs)
+    dxx = float(n * sxx - sx * sx)
+    dxy = float(n * sxy - sx * sy)
+    dyy = float(n * syy - sy * sy)
+    gamma = dxy / dxx
+    s2 = (dyy - gamma * dxy) / n / (n - 2)
+    t = gamma / math.sqrt(s2 * n / dxx)
+    row = q_dickey_fuller(spark, SF).collect()[0]
+    assert row["n_obs"] == n
+    assert row["gamma"] == _micro(gamma)
+    assert row["t_stat"] == _micro(t)
+    assert row["unit_root_rejected"] == (t < -2.86)
+
+
+def test_dickey_fuller_mean_reverting_series_rejects(spark):
+    # daily event counts are stationary noise around a level, so gamma
+    # must be strongly negative (mean reversion), never positive
+    row = q_dickey_fuller(spark, SF).collect()[0]
+    assert row["gamma"] < 0.0
+    assert row["t_stat"] < 0.0
+
+
+# ---------------------------------------------------------------------------
+# sax_symbols
+# ---------------------------------------------------------------------------
+
+
+def _sax_local(xs):
+    n = len(xs)
+    s1 = sum(xs)
+    s2 = sum(x * x for x in xs)
+    m2 = n * s2 - s1 * s1
+    segs = collections.defaultdict(list)
+    for t, x in enumerate(xs, start=1):
+        segs[(t - 1) * _SAX_W // n].append(n * x - s1)
+    out = []
+    for seg in sorted(segs):
+        vs = segs[seg]
+        if m2 <= 0:
+            paa = 0.0
+        else:
+            paa = _micro(float(sum(vs)) / len(vs) / math.sqrt(float(m2)))
+        sym = (
+            "a" if paa < -0.6745 else
+            "b" if paa < 0.0 else
+            "c" if paa < 0.6745 else "d"
         )
-        tsum += math.floor(term * 1e9 + 0.5)
-        c += m
-    w2 = _micro(tsum / 1e9 + 1.0 / (12.0 * n))
-    row = q_cvm_expfit(spark, SF).collect()[0]
-    assert row["n_intervals"] == n
-    assert row["lambda_per_sec"] == _micro(n / sx * 1e6)
-    assert row["w2"] == w2
+        out.append((seg, len(vs), paa, sym))
+    return out
 
 
-def test_cvm_nonnegative_and_plan(spark):
-    row = q_cvm_expfit(spark, SF).collect()[0]
-    assert row["w2"] >= 0.0
-    plan = _plan_of(q_cvm_expfit(spark, SF))
-    assert plan.count("Window") >= 2  # lead window + two-level cumsum
-    assert "PythonUDF" not in plan
+def test_sax_symbols_matches_local(spark):
+    xs = _daily_counts(spark)
+    exp = _sax_local(xs)
+    got = [
+        (r["seg"], r["n_days_seg"], r["paa"], r["symbol"])
+        for r in q_sax_symbols(spark, SF).collect()
+    ]
+    assert got == exp
+
+
+def test_sax_symbols_shape(spark):
+    rows = q_sax_symbols(spark, SF).collect()
+    assert len(rows) == _SAX_W
+    assert [r["seg"] for r in rows] == list(range(_SAX_W))
+    xs = _daily_counts(spark)
+    assert sum(r["n_days_seg"] for r in rows) == len(xs)
+    # z-scores sum to ~0, so the PAA letters cannot all sit on one side
+    syms = {r["symbol"] for r in rows}
+    assert syms <= {"a", "b", "c", "d"}
+    assert not (syms <= {"a"}) and not (syms <= {"d"})
 
 
 # ---------------------------------------------------------------------------
-# registration
+# randomized_response
 # ---------------------------------------------------------------------------
 
 
-def test_wave47_registered():
-    for name in (
-        "wasserstein_1d",
-        "eb_shrinkage",
-        "prefix_tree_stats",
-        "trimmed_stats",
-        "cvm_expfit",
+def _rr_local(docs):
+    langs = sorted({lang for _, lang in docs})
+    k = len(langs)
+    n = len(docs)
+    rep = collections.Counter()
+    for doc_id, lang in docs:
+        h = hashlib.md5(f"{doc_id}:rr".encode()).hexdigest()
+        coin = int(h[0], 16) * 16 + int(h[1], 16)
+        repl = langs[(int(h[2], 16) * 16 + int(h[3], 16)) % k]
+        rep[lang if coin < 192 else repl] += 1
+    true = collections.Counter(lang for _, lang in docs)
+    out = []
+    eps = _micro(math.log((0.75 + 0.25 / k) / (0.25 / k)))
+    for lang in langs:
+        est = (rep[lang] / n - 0.25 / k) / 0.75
+        tf = true[lang] / n
+        out.append(
+            (lang, rep[lang], _micro(est), _micro(tf),
+             _micro(abs(est - tf)), eps)
+        )
+    return out
+
+
+def test_randomized_response_matches_local(spark):
+    rows = Q._t(spark, SF, "documents").select("doc_id", "lang").collect()
+    docs = [(int(r["doc_id"]), r["lang"] or "") for r in rows]
+    exp = _rr_local(docs)
+    got = [
+        (r["lang"], r["rep_cnt"], r["est_freq"], r["true_freq"],
+         r["abs_err"], r["epsilon"])
+        for r in q_randomized_response(spark, SF).collect()
+    ]
+    assert got == exp
+
+
+def test_randomized_response_debiasing_helps(spark):
+    # the de-biased estimate must be closer to truth than the raw
+    # reported frequency for at least the majority of labels
+    rows = q_randomized_response(spark, SF).collect()
+    n = sum(r["rep_cnt"] for r in rows)
+    better = sum(
+        1
+        for r in rows
+        if r["abs_err"] <= abs(r["rep_cnt"] / n - r["true_freq"]) + 1e-9
+    )
+    assert better >= (len(rows) + 1) // 2
+    assert all(r["epsilon"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# f2_ams_sketch
+# ---------------------------------------------------------------------------
+
+
+def test_f2_ams_sketch_matches_local(spark):
+    rows = Q._t(spark, SF, "documents").select("text").collect()
+    freq = collections.Counter()
+    for r in rows:
+        for w in (r["text"] or "").split(" "):
+            if w:
+                freq[w] += 1
+    exact = sum(f * f for f in freq.values())
+    ests = []
+    for r in range(1, _F2_R + 1):
+        z = 0
+        for tok, f in freq.items():
+            h = hashlib.md5(f"{tok}:f2:{r}".encode()).hexdigest()
+            z += f * (2 * (int(h[0], 16) % 2) - 1)
+        ests.append(z * z)
+    med = sorted(ests)[2]
+    row = q_f2_ams_sketch(spark, SF).collect()[0]
+    assert row["n_tokens_distinct"] == len(freq)
+    assert row["exact_f2"] == exact
+    assert row["f2_est"] == med
+    assert row["rel_err"] == _micro(abs(med - exact) / exact)
+
+
+def test_f2_ams_sketch_is_unbiased_enough(spark):
+    # E[z^2] = F2; with 5 reps the median should land within 3x
+    row = q_f2_ams_sketch(spark, SF).collect()[0]
+    assert row["f2_est"] > 0
+    assert row["rel_err"] < 2.0
+
+
+def test_f2_ams_single_scan_partial_agg(spark):
+    plan = _plan_of(q_f2_ams_sketch(spark, SF))
+    assert plan.count("documents.parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_distfit_registration(spark):
+    for k in (
+        "jarque_bera",
+        "dickey_fuller",
+        "sax_symbols",
+        "randomized_response",
+        "f2_ams_sketch",
     ):
-        assert name in Q.QUERIES
-        assert name in Q.ORACLES
+        assert k in Q.QUERIES and k in Q.ORACLES

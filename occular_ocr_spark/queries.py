@@ -2912,4 +2912,5 @@ from . import queries_diagnostics as _queries_diagnostics  # noqa: E402,F401
 from . import queries_inference as _queries_inference  # noqa: E402,F401
 from . import queries_privacy2 as _queries_privacy2  # noqa: E402,F401
 from . import queries_regdiag as _queries_regdiag  # noqa: E402,F401
-from . import queries_distfit as _queries_distfit  # noqa: E402,F401
+from . import queries_distshape as _queries_distshape  # noqa: E402,F401
+from . import queries_abtest as _queries_abtest  # noqa: E402,F401

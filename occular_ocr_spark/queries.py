@@ -2914,3 +2914,4 @@ from . import queries_privacy2 as _queries_privacy2  # noqa: E402,F401
 from . import queries_regdiag as _queries_regdiag  # noqa: E402,F401
 from . import queries_distshape as _queries_distshape  # noqa: E402,F401
 from . import queries_abtest as _queries_abtest  # noqa: E402,F401
+from . import queries_ragops as _queries_ragops  # noqa: E402,F401

@@ -2915,3 +2915,4 @@ from . import queries_regdiag as _queries_regdiag  # noqa: E402,F401
 from . import queries_distshape as _queries_distshape  # noqa: E402,F401
 from . import queries_abtest as _queries_abtest  # noqa: E402,F401
 from . import queries_ragops as _queries_ragops  # noqa: E402,F401
+from . import queries_retrieval2 as _queries_retrieval2  # noqa: E402,F401

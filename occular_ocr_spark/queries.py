@@ -2924,3 +2924,4 @@ from . import queries_cache as _queries_cache  # noqa: E402,F401
 from . import queries_forecast as _queries_forecast  # noqa: E402,F401
 from . import queries_robustscale as _queries_robustscale  # noqa: E402,F401
 from . import queries_shuffle as _queries_shuffle  # noqa: E402,F401
+from . import queries_resample as _queries_resample  # noqa: E402,F401

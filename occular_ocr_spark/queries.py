@@ -2925,3 +2925,5 @@ from . import queries_forecast as _queries_forecast  # noqa: E402,F401
 from . import queries_robustscale as _queries_robustscale  # noqa: E402,F401
 from . import queries_shuffle as _queries_shuffle  # noqa: E402,F401
 from . import queries_resample as _queries_resample  # noqa: E402,F401
+from . import queries_contract as _queries_contract  # noqa: E402,F401
+from . import queries_extractqa as _queries_extractqa  # noqa: E402,F401

@@ -458,6 +458,12 @@ def _report(
     # evidenced over every recorded full run.
     hist_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     by_pair = {(p["from_cores"], p["to_cores"]): p for p in pairs}
+    if (2, 8) not in by_pair or (8, 32) not in by_pair:
+        # partial --levels run: the measurements above were printed and
+        # payload-dumped, but the cross-run history only records full
+        # 2/8/32 runs (the table schema is the pair columns)
+        print("history: skipping append (partial --levels run)")
+        return
     hist_entry = {
         "p28_raw": by_pair[(2, 8)]["raw_efficiency"],
         "p28_rel": by_pair[(2, 8)]["ceiling_relative_efficiency"],

@@ -2927,3 +2927,4 @@ from . import queries_shuffle as _queries_shuffle  # noqa: E402,F401
 from . import queries_resample as _queries_resample  # noqa: E402,F401
 from . import queries_contract as _queries_contract  # noqa: E402,F401
 from . import queries_extractqa as _queries_extractqa  # noqa: E402,F401
+from . import queries_checksum as _queries_checksum  # noqa: E402,F401

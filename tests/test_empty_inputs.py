@@ -199,6 +199,38 @@ REPRESENTATIVE = [
     "tokenizer_fertility",
     "oov_rate",
     "source_minhash_sim",
+    # round-4 waves 62-69 entries that collapse to zero rows on empty
+    # tables (groupBy/rank-selection shapes; the fixed-row audit
+    # entries — fk_orphan_audit, key_uniqueness_audit, spill/bucket
+    # planners, ansari_bradley, merkle root — keep their constant
+    # frames with NULL/zero surfaces instead and are pinned by their
+    # wave tests)
+    "lru_hit_curve",
+    "working_set_hist",
+    "reuse_gap_stats",
+    "lfu_topk_hits",
+    "brier_decomposition",
+    "crps_ensemble",
+    "pinball_loss",
+    "interval_coverage",
+    "pit_histogram",
+    "hodges_lehmann",
+    "qn_scale",
+    "sn_scale",
+    "shorth_interval",
+    "gini_mean_diff",
+    "skew_salt_planner",
+    "aqe_skew_split_audit",
+    "jackknife_groups",
+    "energy_distance",
+    "snapshot_stats_drift",
+    "extraction_yield_report",
+    "gate_rejection_report",
+    "conversation_assembly_audit",
+    "method_position_matrix",
+    "turn_length_profile",
+    "table_checksum_buckets",
+    "replica_diff_checksums",
 ]
 
 

@@ -2932,3 +2932,4 @@ from . import queries_quantsurface as _queries_quantsurface  # noqa: E402,F401
 from . import queries_eventtime as _queries_eventtime  # noqa: E402,F401
 from . import queries_annotation as _queries_annotation  # noqa: E402,F401
 from . import queries_identities as _queries_identities  # noqa: E402,F401
+from . import queries_fulfillment as _queries_fulfillment  # noqa: E402,F401

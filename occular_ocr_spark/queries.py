@@ -2938,3 +2938,4 @@ from . import queries_survival2 as _queries_survival2  # noqa: E402,F401
 from . import queries_inventory as _queries_inventory  # noqa: E402,F401
 from . import queries_ablation as _queries_ablation  # noqa: E402,F401
 from . import queries_queueing as _queries_queueing  # noqa: E402,F401
+from . import queries_cbostats as _queries_cbostats  # noqa: E402,F401

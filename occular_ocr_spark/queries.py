@@ -2939,3 +2939,6 @@ from . import queries_inventory as _queries_inventory  # noqa: E402,F401
 from . import queries_ablation as _queries_ablation  # noqa: E402,F401
 from . import queries_queueing as _queries_queueing  # noqa: E402,F401
 from . import queries_cbostats as _queries_cbostats  # noqa: E402,F401
+from . import queries_sre as _queries_sre  # noqa: E402,F401
+from . import queries_bigrowth as _queries_bigrowth  # noqa: E402,F401
+from . import queries_joinprune as _queries_joinprune  # noqa: E402,F401

@@ -2944,3 +2944,4 @@ from . import queries_bigrowth as _queries_bigrowth  # noqa: E402,F401
 from . import queries_joinprune as _queries_joinprune  # noqa: E402,F401
 from . import queries_winrewrite as _queries_winrewrite  # noqa: E402,F401
 from . import queries_demandfc as _queries_demandfc  # noqa: E402,F401
+from . import queries_decomp as _queries_decomp  # noqa: E402,F401

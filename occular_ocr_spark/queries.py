@@ -2946,3 +2946,4 @@ from . import queries_winrewrite as _queries_winrewrite  # noqa: E402,F401
 from . import queries_demandfc as _queries_demandfc  # noqa: E402,F401
 from . import queries_decomp as _queries_decomp  # noqa: E402,F401
 from . import queries_causal as _queries_causal  # noqa: E402,F401
+from . import queries_gridfit as _queries_gridfit  # noqa: E402,F401

@@ -2949,3 +2949,4 @@ from . import queries_causal as _queries_causal  # noqa: E402,F401
 from . import queries_gridfit as _queries_gridfit  # noqa: E402,F401
 from . import queries_uniteco as _queries_uniteco  # noqa: E402,F401
 from . import queries_spans as _queries_spans  # noqa: E402,F401
+from . import queries_attribution as _queries_attribution  # noqa: E402,F401

@@ -2952,3 +2952,4 @@ from . import queries_spans as _queries_spans  # noqa: E402,F401
 from . import queries_attribution as _queries_attribution  # noqa: E402,F401
 from . import queries_chainladder as _queries_chainladder  # noqa: E402,F401
 from . import queries_depdiscovery as _queries_depdiscovery  # noqa: E402,F401
+from . import queries_procmine as _queries_procmine  # noqa: E402,F401

@@ -2955,3 +2955,4 @@ from . import queries_depdiscovery as _queries_depdiscovery  # noqa: E402,F401
 from . import queries_procmine as _queries_procmine  # noqa: E402,F401
 from . import queries_lifecycle as _queries_lifecycle  # noqa: E402,F401
 from . import queries_planted as _queries_planted  # noqa: E402,F401
+from . import queries_extractsem as _queries_extractsem  # noqa: E402,F401

@@ -2959,3 +2959,4 @@ from . import queries_extractsem as _queries_extractsem  # noqa: E402,F401
 from . import queries_pipelinecert as _queries_pipelinecert  # noqa: E402,F401
 from . import queries_embedqual as _queries_embedqual  # noqa: E402,F401
 from . import queries_convcert as _queries_convcert  # noqa: E402,F401
+from . import queries_ratelimit as _queries_ratelimit  # noqa: E402,F401

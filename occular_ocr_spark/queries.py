@@ -2960,3 +2960,4 @@ from . import queries_pipelinecert as _queries_pipelinecert  # noqa: E402,F401
 from . import queries_embedqual as _queries_embedqual  # noqa: E402,F401
 from . import queries_convcert as _queries_convcert  # noqa: E402,F401
 from . import queries_ratelimit as _queries_ratelimit  # noqa: E402,F401
+from . import queries_pricing as _queries_pricing  # noqa: E402,F401

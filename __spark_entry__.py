@@ -18,12 +18,45 @@ from occular_ocr_spark.queries import ORACLES, QUERIES, q_extract_transcripts
 # dict returned by queries() (verified by the r3 judge: set equality with
 # insertion order).  Registration order used to be module import order,
 # so rounds 1-2 base entries filled the whole window and none of the 66
-# round-3 operators ever reached the hard signal (VERDICT r3 #2).  This
-# list pins an interleaved first-50 that samples EVERY family — the
-# extraction core, relational shell, dedup, connected components, ANN /
-# vector, streaming, and each round-3 module (scale, pipeline, mining,
-# analytics, warehouse, transcript) — so the driver's gate exercises a
-# representative slice; everything else follows in registration order.
+# round-3 operators ever reached the hard signal (VERDICT r3 #2).
+#
+# Round 5 (VERDICT r4 #3 "static window"): the window now ROTATES.  A
+# pinned head keeps the north-rule extraction core plus one anchor per
+# family in every round's hard signal; the remaining slots are filled
+# from entries that have never appeared in any prior CORRECTNESS_r{N}
+# window (derived at import time from the CORRECTNESS_r*.json files in
+# the repo root), ordered by md5(round || name) so the pick is
+# deterministic per round yet different each round.  Every catalog
+# entry therefore eventually lands in a driver-verified window.
+_GATE_WINDOW = 50
+
+_PINNED_HEAD = [
+    # extraction core (the SURVEY §2 S/D/R/A ops) — never rotates out
+    "extract_transcripts",
+    "scan_prune",
+    "filter_gates",
+    "dispatch_case",
+    "reading_order",
+    "text_assembly",
+    "order_restore",
+    "explode_tokens",
+    "extract_plain_docs",
+    "assemble_conversations",
+    "incremental_extract",
+    # round-5 composed curation pipeline (VERDICT r4 #1)
+    "pipeline_e2e",
+    # family anchors: streaming, dedup/LSH, connected components,
+    # training assembly, ANN/vector, warehouse
+    "streaming_extract",
+    "dedup_minhash_verify",
+    "cc_largestar",
+    "pack_sequences",
+    "cosine_topk",
+    "merge_upsert",
+]
+
+# retained for provenance: the interleaved round-3/4 window this file
+# pinned before rotation existed (VERDICT r3 #2 fix)
 _GATE_PRIORITY = [
     # extraction core (the SURVEY §2 S/D/R/A ops)
     "extract_transcripts",
@@ -123,8 +156,47 @@ _GATE_PRIORITY = [
 ]
 
 
+def _round_and_seen() -> tuple[int, frozenset[str]]:
+    """Current round number and the union of all prior hard-gate
+    windows, read from the driver's CORRECTNESS_r{N}.json files next
+    to this file.  Missing files → round 1, nothing seen."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    rounds = [0]
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rounds.append(int(m.group(1)))
+        try:
+            with open(path) as f:
+                seen.update(json.load(f))
+        except Exception:  # noqa: BLE001 — a malformed file never blocks the gate
+            pass
+    return max(rounds) + 1, frozenset(seen)
+
+
 def _ordered(mapping: dict) -> dict:
-    out = {k: mapping[k] for k in _GATE_PRIORITY if k in mapping}
+    import hashlib
+
+    rnd, seen = _round_and_seen()
+    head = [k for k in _PINNED_HEAD if k in mapping]
+
+    def rot_key(name: str) -> tuple[int, str]:
+        # never-gated entries first, then per-round deterministic shuffle
+        digest = hashlib.md5(f"r{rnd}:{name}".encode()).hexdigest()
+        return (1 if name in seen else 0, digest)
+
+    pool = sorted((k for k in mapping if k not in head), key=rot_key)
+    window = head + pool[: max(0, _GATE_WINDOW - len(head))]
+    out = {k: mapping[k] for k in window if k in mapping}
+    # tail: historical interleave order, then registration order
+    out.update({k: mapping[k] for k in _GATE_PRIORITY if k in mapping and k not in out})
     out.update({k: v for k, v in mapping.items() if k not in out})
     return out
 

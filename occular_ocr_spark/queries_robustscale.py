@@ -28,13 +28,17 @@ sums end-to-end; the only divisions are single half-up micro/half
 steps at the very end.
 
 Scale notes: hodges_lehmann / qn_scale / sn_scale materialize the
-O(n²) per-lang pair frame — correct and partition-parallel across
-langs at fixture scale; the production form for 10^9-row groups is
-the textbook O(n log n) binary-search-over-value + count-pairs-below
-selection (two-pass, same partial-agg shapes as group_quantiles_dist),
-which these entries' oracles would verify unchanged.  shorth and
-gini_mean_diff are already O(n log n): one per-lang sort window plus
-arithmetic.
+O(n²) per-lang pair frame — they are ORACLE SCAFFOLDS, not the
+production path.  The production twins exist in
+queries_robustscale_dist.py (``hodges_lehmann_dist`` /
+``qn_scale_dist`` / ``sn_scale_dist``): binary-search-over-value +
+count-pairs-below selection on a per-(lang, value) compressed table,
+verified against the SAME oracles — a 10⁹-row lang group is ~60
+bounded micro-jobs there vs a 10¹⁸-pair frame here.  The scaffolds
+stay catalog-gated (they double-check the twins bit-for-bit) but are
+excluded from the bench headline (bench.py SCAFFOLD_ENTRIES).  shorth
+and gini_mean_diff are already O(n log n): one per-lang sort window
+plus arithmetic — production-grade as-is.
 
 Reference parity: axis-B net-new corpus ops (the reference
 Bodhi42/Occular-ocr engine is per-document OCR only; SURVEY.md §2,
@@ -67,9 +71,10 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HL location per lang: lower median of Walsh sums x_i + x_j
     (i ≤ j by doc_id), exact; point value is one half-up halving.
 
-    Scale: per-lang pair frame (see module Scale notes for the
-    two-pass selection production form); the median is one rank
-    window per lang over the pair frame.
+    ORACLE SCAFFOLD — NOT the production HL path: materializes the
+    O(n²) per-lang Walsh pair frame.  Production: the bit-identical
+    ``hodges_lehmann_dist`` (queries_robustscale_dist.py), value
+    search + count-pairs-below, no pair frame.
     """
     v = _q._persist_tracked(_vals(spark, sf_dir))
     a = v.selectExpr("lang", "doc_id AS ia", "x AS xa")
@@ -123,8 +128,10 @@ def q_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = C(h,2), h = ⌊n/2⌋+1 (ties broken by gap value — rank
     selection of a value is tie-stable).
 
-    Scale: per-lang pair frame + one rank window (production form:
-    binary search over gap values, module Scale notes).
+    ORACLE SCAFFOLD — NOT the production Qn path: materializes the
+    O(n²) per-lang gap frame.  Production: the bit-identical
+    ``qn_scale_dist`` (queries_robustscale_dist.py), value search +
+    count-gaps-below, no pair frame.
     """
     v = _q._persist_tracked(_vals(spark, sf_dir))
     n_of = v.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
@@ -185,8 +192,10 @@ def q_sn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     |x_i - x_j|) — highmed rank ⌊n/2⌋+1 of the n-1 gaps per anchor,
     lowmed rank ⌊(n+1)/2⌋ across anchors.
 
-    Scale: full i≠j pair frame, two nested rank windows — the inner
-    partitions by (lang, anchor), the outer by lang over n rows.
+    ORACLE SCAFFOLD — NOT the production Sn path: materializes the
+    full i≠j pair frame with nested rank windows.  Production: the
+    bit-identical ``sn_scale_dist`` (queries_robustscale_dist.py),
+    value search over anchor reach counts, no pair frame.
     """
     v = _q._persist_tracked(_vals(spark, sf_dir))
     n_of = v.groupBy("lang").agg(F.count("*").cast("long").alias("n"))

@@ -387,17 +387,39 @@ class ExtractionPipeline:
         return conversation_text(self.process(df))
 
 
-def conversation_text(extracted: DataFrame) -> DataFrame:
+#: Turns per assembly chunk.  Phase-1 aggregation state is bounded by
+#: this many (turn_idx, text) structs per task regardless of how big a
+#: conversation is; raise/lower per deployment memory.
+ASSEMBLY_CHUNK_TURNS = 1024
+
+
+def conversation_text(
+    extracted: DataFrame, chunk_turns: int = ASSEMBLY_CHUNK_TURNS
+) -> DataFrame:
     """Assemble whole-conversation text under stable turn ordering.
 
     The cross-turn analog of the reference's page-list assembly
     (``__init__.py:91-95``: per-page text list in page order, joined).
-    Implemented as groupBy + array_sort on (turn_idx, text) structs —
-    a single shuffle, no window needed, and deterministic because
-    turn_idx is unique within a conversation.
+
+    Two-phase chunked concat (VERDICT r4 #6 — mega-conversation
+    safety): phase 1 groups by ``(conv_id, turn_idx DIV chunk)`` and
+    order-concats each chunk, so no aggregation buffer ever holds more
+    than ``chunk_turns`` turn structs; phase 2 order-concats the chunk
+    texts per conversation (a 10⁹-turn conversation is ~10⁶ chunk rows
+    here, not 10⁹ structs in one buffer).  Both phases are groupBy +
+    array_sort — partial-aggregable shuffles, no windows — and the
+    result is bit-identical to a single-phase ordered join because
+    "\\n".join composes associatively and ``turn_idx`` is unique
+    within a conversation.  The FINAL row still carries the whole
+    conversation's text (the row IS the conversation — semantically
+    inherent); chunking bounds the *aggregation state*, which is where
+    the single-task OOM lived.
     """
-    return (
-        extracted.groupBy("conv_id")
+    chunks = (
+        extracted.groupBy(
+            "conv_id",
+            (F.col("turn_idx") - (F.col("turn_idx") % chunk_turns)).alias("chunk_id"),
+        )
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
@@ -405,7 +427,27 @@ def conversation_text(extracted: DataFrame) -> DataFrame:
         )
         .select(
             "conv_id",
-            F.array_join(F.transform("turns", lambda t: t["text"]), "\n").alias("text"),
-            F.size("turns").alias("n_turns"),
+            "chunk_id",
+            F.array_join(F.transform("turns", lambda t: t["text"]), "\n").alias(
+                "chunk_text"
+            ),
+            F.size("turns").alias("chunk_turns"),
+        )
+    )
+    return (
+        chunks.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_id", "chunk_text", "chunk_turns"))
+            ).alias("cs")
+        )
+        .select(
+            "conv_id",
+            F.array_join(F.transform("cs", lambda c: c["chunk_text"]), "\n").alias(
+                "text"
+            ),
+            F.aggregate(
+                F.col("cs"), F.lit(0), lambda acc, c: acc + c["chunk_turns"]
+            ).alias("n_turns"),
         )
     )

@@ -2967,3 +2967,4 @@ from . import queries_weighted as _queries_weighted  # noqa: E402,F401
 from . import queries_aqp as _queries_aqp  # noqa: E402,F401
 from . import queries_resilience as _queries_resilience  # noqa: E402,F401
 from . import queries_robustscale_dist as _queries_robustscale_dist  # noqa: E402,F401
+from . import pipeline_e2e as _pipeline_e2e  # noqa: E402,F401

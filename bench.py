@@ -37,8 +37,64 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-# Every catalog entry is a headline query; order puts cheap scans first
-# (JVM warm-up) and the heavy shuffle/join families after.
+# Round 5 (VERDICT r4 #7): the bench is TIERED.  The ~60-entry
+# HEADLINE tier (driver gate window + historical top-cost entries) is
+# timed best-of-3 every round — the stable cross-round comparison set;
+# every other catalog entry runs in the FULL tier, single-pass, so
+# nothing registered is ever silently skipped (no-silent-caps rule)
+# while the bench wall time stays bounded.
+#
+# VERDICT r4 #8: entries documented as ORACLE SCAFFOLDS (correct but
+# deliberately non-production plans kept only to double-check their
+# production twins) are excluded from the headline tier; they still
+# run — and stay catalog-gated — in the full tier.
+SCAFFOLD_ENTRIES = {
+    "group_quantiles",      # single-node percentile buffering (queries_ext.py)
+    "hodges_lehmann",       # O(n²) pair frames; production = *_dist twins
+    "qn_scale",
+    "sn_scale",
+}
+
+# Historical top-cost entries (bench_history.jsonl r2-r4): these carry
+# the cross-round perf narrative, so they stay headline even when the
+# rotating gate window drops them.
+TOP_COST = [
+    "hits_scores",
+    "source_minhash_sim",
+    "containment_join",
+    "link_prediction_jaccard",
+    "pagerank_bipartite",
+    "cc_largestar",
+    "streaming_join",
+    "dedup_keep_canonical",
+    "dedup_minhash_verify",
+    "kmeans_lloyd",
+    "ann_ivf_search",
+    "cosine_topk",
+    "semdedup",
+    "pipeline_e2e",
+]
+
+
+def _tiers() -> tuple[list[str], list[str]]:
+    """(headline, full) entry lists.  Headline = the driver's rotated
+    50-entry gate window (same order the hard gate samples) + TOP_COST,
+    minus scaffolds; full = every other registered entry."""
+    from __spark_entry__ import queries
+
+    ordered = list(queries())
+    gate_window = ordered[:50]
+    headline = [n for n in gate_window if n not in SCAFFOLD_ENTRIES]
+    headline += [
+        n for n in TOP_COST
+        if n in ordered and n not in headline and n not in SCAFFOLD_ENTRIES
+    ]
+    full = [n for n in ordered if n not in headline]
+    return headline, full
+
+
+# retained for provenance: the pre-tier flat ordering (rounds 2-4);
+# cheap scans first (JVM warm-up), heavy shuffle/join families after.
 HEADLINE = [
     "scan_prune",
     # the flagship extraction number runs FIRST after the untimed
@@ -200,19 +256,6 @@ HEADLINE = [
 ]
 
 
-def _headline_complete() -> list[str]:
-    """HEADLINE plus any catalog entries it doesn't list yet — the bench
-    must never silently skip a registered query (no-silent-caps rule);
-    stragglers run at the end in registration order."""
-    from occular_ocr_spark.queries import QUERIES
-
-    missing = [n for n in QUERIES if n not in HEADLINE]
-    if missing:
-        print(f"bench: {len(missing)} catalog entries not in HEADLINE, "
-              f"appending: {missing}", file=sys.stderr)
-    return HEADLINE + missing
-
-
 def warmup(spark, sf_dir: str) -> None:
     """Untimed pre-pass: JVM JIT + codegen + parquet footer caches + the
     Python worker pool all warm up here, so query 1's timing is the
@@ -258,18 +301,19 @@ def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
     load_start = _wait_quiet_host()
     stat_start = _cpu_jiffies()
     warmup(spark, sf_dir)
-    timings: dict[str, float] = {}
     extraction_rows = 0
     extraction_sec = 0.0
-    headline = _headline_complete()
-    for name in headline:
+    headline, full = _tiers()
+
+    def _time_one(name: str, n_passes: int) -> float:
+        nonlocal extraction_rows, extraction_sec
         fn = QUERIES[name]
         best = None
         # best-of-N: the first execution of a query pays its one-time
         # codegen compile; the best pass is the steady-state number a
         # long-running cluster job sees (shared-host noise also swings
         # single passes ~2x — see BENCH/BASELINE.md)
-        for _ in range(passes):
+        for _ in range(n_passes):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if name == "extract_transcripts":
@@ -281,20 +325,34 @@ def run_bench(spark, sf_dir: str, passes: int = 3) -> dict:
                 dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         # drop this query's tracked per-query caches before the next
-        # query so a 123-entry session doesn't accumulate blocks
+        # query so a 600-entry session doesn't accumulate blocks
         # (session-lifetime indexes like the verified-pairs memo are
         # intentionally not tracked and survive)
         release_persists()
         if name == "extract_transcripts":
             extraction_sec = best
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        timings[name] = _time_one(name, passes)
+    full_timings: dict[str, float] = {}
+    for name in full:
+        full_timings[name] = _time_one(name, 1)
     total = round(sum(timings.values()), 3)
+    full_total = round(sum(full_timings.values()), 3)
     out = {
-        "metric": f"headline catalog wall time ({len(headline)} queries, "
-                  f"noop sink, warmed runtime, best of {passes} passes)",
+        "metric": f"headline tier wall time ({len(headline)} queries, "
+                  f"noop sink, warmed runtime, best of {passes} passes; "
+                  f"+{len(full)} full-tier queries single-pass in "
+                  f"full_catalog_sec)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "full_catalog_sec": full_total,
+        "full_n_queries": len(full),
+        "full_queries": full_timings,
+        "scaffold_excluded_from_headline": sorted(SCAFFOLD_ENTRIES),
         "sf": _sf_from_dir(sf_dir),
         "host_load_1m_start": round(load_start, 2),
         "host_load_1m_end": round(os.getloadavg()[0], 2),
@@ -442,7 +500,9 @@ def main() -> int:
         "unit": "sec",
         "sf": out["sf"],
         "n_queries": len(q),
-        "queries": top5,  # 5 slowest; full map in queries_file
+        "full_catalog_sec": out["full_catalog_sec"],
+        "full_n_queries": out["full_n_queries"],
+        "queries": top5,  # 5 slowest headline entries; full maps in queries_file
         "queries_file": "BENCH/bench_details.json",
         "host_load_1m_start": out["host_load_1m_start"],
         "host_load_1m_end": out["host_load_1m_end"],

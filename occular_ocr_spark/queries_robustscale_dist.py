@@ -72,7 +72,11 @@ from .queries_robustscale import (
     ORACLE_SN_SCALE,
 )
 
-_C = 16  # search fan-out per pass (pivots per lang per Spark job)
+# search fan-out per pass (pivots per lang per Spark job): each pass is
+# a fixed-cost micro-job (~1 s dominated by scheduling, not data), so a
+# wider fan-out directly cuts rounds — 32 pivots resolves a 10^9 value
+# range in <=6 passes and the fixture's ~500-wide range in 2
+_C = 32
 
 
 def _compressed(spark: SparkSession, sf_dir: str) -> DataFrame:

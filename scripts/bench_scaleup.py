@@ -35,6 +35,21 @@ def _run_tier(spark, names, sf_dir: str) -> dict[str, float]:
     bench.warmup(spark, sf_dir)
     out: dict[str, float] = {}
     for name in names:
+        if name == "pipeline_e2e":
+            # the catalog entry memoizes its staged artifact per
+            # (session, sf_dir) — correct for the gate, but here the
+            # number of interest is the CHAIN BUILD, so time a fresh
+            # run_pipeline into a new directory (single pass: the
+            # chain is 8 materialized stages, not a steady-state scan)
+            import tempfile
+
+            from occular_ocr_spark import pipeline_e2e as P
+
+            t0 = time.perf_counter()
+            P.run_pipeline(spark, sf_dir, tempfile.mkdtemp(prefix="occ_e2e_su_"))
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"  {name}: {out[name]:.3f}s (fresh chain)", file=sys.stderr)
+            continue
         fn = QUERIES[name]
         best = None
         for _ in range(PASSES):

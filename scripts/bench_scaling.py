@@ -693,7 +693,37 @@ above.  Recorded per round for attribution: r2 = 7,369 turns/s,
 r3 = 5,816 (load-7+ host, noise), r4 = 7,553 at start load 0.93 after
 three driver-side fixes (AQE-managed salted exchange instead of a
 pinned width, memoized fast-path expression trees, memoized table
-handles) — isolated best-of-5 on a quiet host: 8,542.
+handles) — isolated best-of-5 on a quiet host: 8,542; r5 = 5,616 at
+start load 0.51 (no extraction-path change this round — swing is the
+documented fixed-overhead noise band).
+
+## Round 5: tiered catalog bench + 10x scale-up evidence
+
+The catalog leg is TIERED (VERDICT r4 #7/#8, bench.py):
+
+* **headline tier** — the driver's rotated 50-entry gate window plus
+  the historical top-cost entries (60 total), best-of-3, the stable
+  cross-round comparison set.  Round-5 quiet run (start load 0.51,
+  steal 1.3%): **59.0 s / 60 entries**.
+* **full tier** — every other registered entry (561), single-pass:
+  510.0 s.  Single-pass numbers include each plan's one-time codegen,
+  so they are coverage evidence, not steady-state timings — compare
+  rounds on the headline tier.
+* ORACLE SCAFFOLDS (`group_quantiles`, `hodges_lehmann`, `qn_scale`,
+  `sn_scale`) are excluded from the headline tier; their production
+  twins (`group_quantiles_dist`, the `*_dist` value-search
+  selections) run there instead.  `pipeline_e2e`'s best-of-3 time
+  (0.27 s) is the session-memoized manifest read; the fresh chain
+  build is timed separately (27.1 s at sf0.1, 24.5 s at sf1 — fixed-
+  cost dominated, ratio 0.91; BENCH/SCALEUP.md).
+
+**sf0.1 -> sf1 (10x) scale-up:** `scripts/make_sf1.py` builds a
+deterministic 10x fixture (key-shifted replication; copy texts
+perturbed so copies are NOT near-duplicates), and
+`scripts/bench_scaleup.py` times the full headline tier at both
+scales.  Round-5 result: **zero super-linear entries** (max ratio
+9.54, `semdedup`); per-entry table in `BENCH/SCALEUP.md` /
+`BENCH/scaleup_sf1.json`.
 {history_md}"""
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

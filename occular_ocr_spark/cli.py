@@ -75,6 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-ranges", type=int, default=8)
     p.add_argument("--master", default=None,
                    help="override master (else spark-submit's choice)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="run the composed 8-stage curation chain "
+                        "(extract -> quality -> dedup -> decontaminate -> "
+                        "split -> pack -> shard) instead of plain "
+                        "extraction; --input is a tables directory holding "
+                        "documents.parquet, --output is the staged pipeline "
+                        "directory (resumable: re-running completes only "
+                        "uncommitted stages)")
+    p.add_argument("--stop-after", default=None,
+                   help="with --pipeline: commit stages up to this one and "
+                        "exit (resume later by re-running)")
     return p
 
 
@@ -88,6 +99,18 @@ def main(argv=None) -> int:
             "--checkpointed writes detailed parquet only; "
             "drop --format/--text-only/--stdout"
         )
+    if args.pipeline and (
+        args.stdout or args.text_only or args.checkpointed or args.format != "parquet"
+    ):
+        parser.error(
+            "--pipeline writes staged parquet + manifests only; "
+            "drop --format/--text-only/--stdout/--checkpointed"
+        )
+    if args.pipeline and args.stop_after is not None:
+        from .pipeline_e2e import STAGES as _stages
+
+        if args.stop_after not in _stages:
+            parser.error(f"--stop-after must be one of {', '.join(_stages)}")
     if not args.stdout and not args.output:
         parser.error("--output is required unless --stdout is given")
 
@@ -101,6 +124,23 @@ def main(argv=None) -> int:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:
+        if args.pipeline:
+            from .pipeline_e2e import STAGES, is_complete, run_pipeline
+
+            ms = run_pipeline(
+                spark,
+                args.input,
+                args.output,
+                stop_after=args.stop_after,
+                src_snapshot_id=1 if args.snapshot_id is None else args.snapshot_id,
+            )
+            for stage in STAGES:
+                m = ms.get(stage)
+                if m:
+                    print(f"stage {stage}: {m['n_rows']} rows, "
+                          f"digest {m['digest_sum']}")
+            print(f"pipeline complete={is_complete(args.output)}")
+            return 0
         if args.checkpointed:
             from .sink import CheckpointedParquetSink
 

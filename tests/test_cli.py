@@ -83,3 +83,38 @@ def test_cli_checkpointed_resume(tmp_path):
     r2 = _run_cli(base)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "committed 0 ranges" in r2.stdout
+
+
+def test_cli_pipeline_mode_with_resume(tmp_path):
+    """--pipeline runs the composed curation chain over a tables dir;
+    --stop-after commits a prefix, re-running completes the rest with
+    identical stage digests (round-5 CLI surface)."""
+    out = str(tmp_path / "pipe")
+    base = ["--input", "/root/testdata/sf0.001", "--output", out,
+            "--pipeline", "--master", "local[2]"]
+    r1 = _run_cli(base + ["--stop-after", "dedup_exact"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "pipeline complete=False" in r1.stdout
+    assert "stage dedup_exact:" in r1.stdout and "stage pack" not in r1.stdout
+
+    r2 = _run_cli(base)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "pipeline complete=True" in r2.stdout
+    # the resumed run reports the SAME digests for the pre-committed stages
+    pre = {l.split(":")[0] for l in r1.stdout.splitlines() if l.startswith("stage ")}
+    d1 = {l.split(":")[0]: l for l in r1.stdout.splitlines() if l.startswith("stage ")}
+    d2 = {l.split(":")[0]: l for l in r2.stdout.splitlines() if l.startswith("stage ")}
+    assert all(d2[s] == d1[s] for s in pre)
+    assert len(d2) == 8
+
+
+def test_cli_pipeline_flag_conflicts():
+    from occular_ocr_spark.cli import main
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--pipeline", "--text-only"])
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--pipeline",
+              "--stop-after", "nonsense", "--master", "local[1]"])

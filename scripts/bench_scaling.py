@@ -693,8 +693,8 @@ above.  Recorded per round for attribution: r2 = 7,369 turns/s,
 r3 = 5,816 (load-7+ host, noise), r4 = 7,553 at start load 0.93 after
 three driver-side fixes (AQE-managed salted exchange instead of a
 pinned width, memoized fast-path expression trees, memoized table
-handles) — isolated best-of-5 on a quiet host: 8,542; r5 = 5,616 at
-start load 0.51 (no extraction-path change this round — swing is the
+handles) — isolated best-of-5 on a quiet host: 8,542; r5 = 6,292 at
+start load 1.27 (no extraction-path change this round — swing is the
 documented fixed-overhead noise band).
 
 ## Round 5: tiered catalog bench + 10x scale-up evidence
@@ -703,10 +703,11 @@ The catalog leg is TIERED (VERDICT r4 #7/#8, bench.py):
 
 * **headline tier** — the driver's rotated 50-entry gate window plus
   the historical top-cost entries (60 total), best-of-3, the stable
-  cross-round comparison set.  Round-5 quiet run (start load 0.51,
-  steal 1.3%): **59.0 s / 60 entries**.
+  cross-round comparison set.  Round-5 quiet run (start load 1.27,
+  steal 0.2%): **52.0 s / 60 entries** (`hodges_lehmann_dist`
+  1.73 s after the 32-pivot fan-out).
 * **full tier** — every other registered entry (561), single-pass:
-  510.0 s.  Single-pass numbers include each plan's one-time codegen,
+  445.4 s.  Single-pass numbers include each plan's one-time codegen,
   so they are coverage evidence, not steady-state timings — compare
   rounds on the headline tier.
 * ORACLE SCAFFOLDS (`group_quantiles`, `hodges_lehmann`, `qn_scale`,

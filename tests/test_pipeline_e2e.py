@@ -117,3 +117,40 @@ def test_monotone_row_counts(spark, tmp_path):
     assert n["dedup_near"] >= n["decontaminate"]
     assert n["decontaminate"] == n["split"] == n["pack"] == n["shard"]
     assert n["shard"] > 0
+
+
+def test_crash_between_write_and_commit_recomputes_stage(spark, tmp_path):
+    """The atomic-rename barrier: stage data written but manifest NOT
+    committed (a kill in the gap) must be treated as not-done — the
+    resumed run overwrites the orphan data and seals the normal
+    digest."""
+    import shutil
+
+    ref = str(tmp_path / "ref")
+    P.run_pipeline(spark, SF, ref)
+
+    crashed = str(tmp_path / "crashed")
+    P.run_pipeline(spark, SF, crashed, stop_after="quality")
+    # simulate the gap-kill at stage 3: copy stage data, no manifest
+    src = os.path.join(P._stage_dir(ref, "dedup_exact"), "data")
+    dst = os.path.join(P._stage_dir(crashed, "dedup_exact"), "data")
+    shutil.copytree(src, dst)
+    assert P.stage_manifest(crashed, "dedup_exact") is None
+
+    P.run_pipeline(spark, SF, crashed)
+    assert P.is_complete(crashed)
+    assert _manifest_digests(crashed) == _manifest_digests(ref)
+    assert _final_rows(spark, crashed) == _final_rows(spark, ref)
+
+
+def test_shard_round_robin_balance(spark, tmp_path):
+    """Bins round-robin across N_SHARDS: within each split, shard bin
+    counts differ by at most one (the interleave contract)."""
+    out_dir = str(tmp_path / "balance")
+    P.run_pipeline(spark, SF, out_dir)
+    rows = P.shard_manifest_df(spark, out_dir).collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r["n_bins"])
+    for split, counts in by_split.items():
+        assert max(counts) - min(counts) <= 1, (split, counts)

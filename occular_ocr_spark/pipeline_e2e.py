@@ -266,7 +266,9 @@ def _near_dup_canonical(df: DataFrame) -> DataFrame:
     sh = _shingles_of(df).persist()
     cands = _minhash_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a_sh = sh.join(F.broadcast(cands), sh.doc_id == cands.doc_a).select(
+    # candidates/sizes are data-scaled — no broadcast hints (AQE
+    # decides), mirroring q_dedup_minhash_verify's round-5 fix
+    a_sh = sh.join(cands, sh.doc_id == cands.doc_a).select(
         "doc_a", "doc_b", "sh"
     )
     b_sh = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("sh").alias("sh_b"))
@@ -278,8 +280,8 @@ def _near_dup_canonical(df: DataFrame) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     pairs = (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(
             F.round(
                 F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6

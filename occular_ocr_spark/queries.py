@@ -825,9 +825,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # sizes is one row per document — DATA-SCALED, so no broadcast
+    # hint: AQE picks broadcast when the runtime size is under the
+    # threshold (small SF) and a shuffled join when it is not (the
+    # sf1 sweep showed a forced hint OOM-ing a default-memory driver)
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -996,11 +1000,12 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-corpus design (candidates ≪ corpus, verification linear in
     candidates).
 
-    Scale: the candidate set is broadcast into the shingle scans (true
-    near-dup pairs are a vanishing fraction of a 100 TB corpus); the
-    shared-shingle count is then a groupBy over only the candidate
-    docs' shingles.  If candidates ever outgrew broadcast, the same
-    joins run shuffled on doc_id unchanged.
+    Scale: the candidate set joins into the shingle scans WITHOUT a
+    broadcast hint — AQE broadcasts it while it is small (true
+    near-dup pairs are a vanishing fraction of a 100 TB corpus) and
+    degrades to a shuffled join on doc_id the moment it is not, which
+    is the behavior a data-dependent side needs (a forced hint turned
+    into a driver OOM in the 10x sf1 sweep).
 
     The verified-pairs result is persisted AND memoized per
     (session, sf_dir): it is the edge set that THREE downstream
@@ -1019,7 +1024,12 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     cands = _minhash_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a_sh = sh.join(F.broadcast(cands), sh.doc_id == cands.doc_a).select(
+    # candidate pairs and per-doc sizes are DATA-SCALED sides — no
+    # broadcast hints; AQE broadcasts them when they are actually small
+    # and falls back to shuffled joins when they are not (the docstring's
+    # "if candidates ever outgrew broadcast" degradation is now real,
+    # not aspirational — a forced hint OOMed the sf1 sweep's driver)
+    a_sh = sh.join(cands, sh.doc_id == cands.doc_a).select(
         "doc_a", "doc_b", "sh"
     )
     b_sh = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("sh").alias("sh_b"))
@@ -1031,8 +1041,8 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

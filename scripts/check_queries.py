@@ -49,6 +49,10 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[8]")
+        # same sizing as tests/conftest.py: the PySpark default (1g)
+        # cannot even BUILD a sub-threshold broadcast once a long
+        # session accumulates cached state (seen in the sf1 sweep)
+        .config("spark.driver.memory", "4g")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

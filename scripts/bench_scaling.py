@@ -408,7 +408,11 @@ def _lc_history_md() -> str:
     return (
         f"\nRuns on record: {len(runs)} "
         f"(raw efficiencies: {effs}; ≥ 0.8 in {n_ok}/{len(runs)}; "
-        f"full rows in `BENCH/local_cluster_runs.jsonl`)."
+        f"full rows in `BENCH/local_cluster_runs.jsonl`).  Legs run "
+        f"sequentially on a shared box, so the 4N leg can launch under "
+        f"the 1N leg's load decay — when a run dips below 0.8, compare "
+        f"the recorded per-leg loads-at-start (e.g. the 0.711 run paired "
+        f"a 0.16-load 1N baseline with a 1.28-load 4N leg)."
     )
 
 

@@ -93,6 +93,29 @@ def release_persists() -> None:
         _TRACKED_PERSISTS.pop().unpersist()
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.5, "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    CPU-heavy map-side work directly above a parquet scan inherits the
+    scan's split count.  The local fixtures are single-row-group files
+    (1 split -> 1 task -> 1 core of 32 busy); a production corpus can
+    hit the same wall via one giant unsplittable file.  When the input
+    already carries >= defaultParallelism splits — every healthy
+    at-scale layout — this returns ``df`` UNCHANGED, so it never adds
+    a shuffle where the scan parallelizes naturally.  Call it on a
+    narrow projection (select the needed columns first) so only those
+    bytes cross the exchange, and only in front of expensive per-row
+    compute; the round-robin exchange is deterministic under retries
+    (sortBeforeRepartition stays on).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 _PAIRS_MEMO: Dict[tuple, DataFrame] = {}
 
 

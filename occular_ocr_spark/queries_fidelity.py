@@ -444,7 +444,15 @@ def _src_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, sh) 3-word shingle stream with the SOURCE key inline — no
     doc join, no distinct: min() ignores multiplicity, so the signature
     aggregation consumes the raw explode stream zero-shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    # _spread BEFORE the split/explode/md5 pyramid: the K-seed md5 over
+    # every shingle occurrence is the most CPU-heavy map stage in the
+    # catalog, and it inherits the scan's split count (1 task on the
+    # single-row-group fixture).  Narrow projection first so only
+    # (source, text) crosses the conditional exchange; at scale the
+    # helper is a no-op (guide §2.5).
+    d = _q._spread(
+        _t(spark, sf_dir, "documents").select("source", "text")
+    )
     toks = d.select(
         F.coalesce(F.col("source"), F.lit("")).alias("src"),
         F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("l"),

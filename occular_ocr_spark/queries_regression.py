@@ -294,28 +294,43 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     authority state is |event_type|-sized (vocabulary, not corpus).
     """
     e = _t(spark, sf_dir, "events").select("user_id", "event_type")
-    # release-tracked: every iteration joins this weighted edge table
-    # twice — one corpus scan builds it, the iterations reuse the blocks
+    # release-tracked: every iteration joins this weighted edge table —
+    # one corpus scan + partial-agg exchange builds it, then ONE small
+    # repartition keys the (much smaller) aggregated edge table by
+    # user_id so every per-iteration user-keyed join and groupBy below
+    # reuses the cached partitioning with ZERO further wide exchanges
+    # (guide §2.4: two operations keyed the same way share one exchange).
     edges = _q._persist_tracked(
-        e.groupBy("user_id", "event_type").agg(
-            F.count("*").cast("double").alias("w")
-        )
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("double").alias("w"))
+        .repartition("user_id")
     )
-    hubs = edges.select("user_id").distinct().select(
-        "user_id", F.lit(1.0).cast("float").alias("h")
-    )
+    hubs = None
     auth = None
-    for _ in range(_HITS_ITERS):
-        a_raw = (
-            edges.join(hubs, "user_id")
-            .groupBy("event_type")
-            .agg(F.sum(F.col("w") * F.col("h")).alias("s"))
-        )
+    for it in range(_HITS_ITERS):
+        if it == 0:
+            # h0 is 1.0f for exactly the user_ids present in edges, so
+            # the first authority update's sum(w * h) is term-for-term
+            # sum(w * 1.0) = sum(w): the distinct() pass and the
+            # edges-to-h0 join the unrolled form paid are pure no-ops.
+            a_raw = edges.groupBy("event_type").agg(F.sum("w").alias("s"))
+        else:
+            a_raw = (
+                edges.join(hubs, "user_id")
+                .groupBy("event_type")
+                .agg(F.sum(F.col("w") * F.col("h")).alias("s"))
+            )
+        # per-iteration state is persisted (released by the harness's
+        # release_persists) so each intermediate is computed ONCE: the
+        # unrolled references otherwise re-embed the whole iteration
+        # history and the plan grows exponentially with _HITS_ITERS
+        # (the r06 before-plan had 450 Exchange occurrences).
+        a_raw = _q._persist_tracked(a_raw)
         a_tot = a_raw.agg(F.sum("s").alias("tot"))
         auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
             "event_type", (F.col("s") / F.col("tot")).cast("float").alias("a")
         )
-        h_raw = (
+        h_raw = _q._persist_tracked(
             edges.join(F.broadcast(auth), "event_type")
             .groupBy("user_id")
             .agg(F.sum(F.col("w") * F.col("a")).alias("s"))

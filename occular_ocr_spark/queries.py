@@ -774,7 +774,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): distinct 3-word shingles per document — the shared
     blocking unit of the n-gram/minhash dedup family.  The explode is
     map-side; `distinct` is the one shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    # _spread before the explode/concat pyramid: every minhash/ngram
+    # family query inherits this head, and it inherits the scan's
+    # split count (1 task on the single-row-group fixture; no-op at
+    # scale — guide §2.5).
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", F.split("text", " ").alias("l"))
     return (
         toks.select(

@@ -993,13 +993,24 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sh").alias("tok"),
         )
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    # ONE groupBy(tok) serves both the global-frequency table (tf, for
+    # the rarest-prefix order) and the postings lists — the r05 shape
+    # shuffled the full token table by tok twice for them (guide §2.4:
+    # two operations keyed the same way share one exchange).
+    by_tok = _q._persist_tracked(
+        toks.groupBy("tok").agg(
+            F.count("*").alias("tf"),
+            F.array_sort(F.collect_list("doc_id")).alias("docs"),
+        )
+    )
+    # |S(a)| comes from an unordered window over the SAME doc_id
+    # partitioning the row_number pass already establishes — the r05
+    # shape paid a separate groupBy(doc_id) + join for it.
     wd = Window.partitionBy("doc_id").orderBy("tf", "tok")
     prefix = (
-        toks.join(freq, "tok")
-        .join(sizes, "doc_id")
+        toks.join(by_tok.select("tok", "tf"), "tok")
         .withColumn("r", F.row_number().over(wd))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
         .where(
             F.col("r")
             <= F.col("sz")
@@ -1008,33 +1019,47 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("doc_a"), "tok")
     )
-    postings = (
-        toks.groupBy("tok")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .where(F.size("docs") <= _CJ_CAP)
-    )
+    postings = by_tok.where(F.size("docs") <= _CJ_CAP).select("tok", "docs")
     cands = (
         prefix.join(postings, "tok")
         .select("doc_a", F.explode("docs").alias("doc_b"))
         .where(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    overlap = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("o"))
+    # Verify via per-doc sorted shingle-set arrays + map-side
+    # array_intersect: the r05 shape expanded every candidate pair by
+    # doc_a's full token list and shuffled that widest-of-all
+    # intermediate by (doc_b, tok) before a count groupBy; here only
+    # the candidate PAIRS move, each picking up two bounded-length
+    # arrays (one exchange per side), and the overlap count never
+    # crosses the wire at all.  toks is distinct per (doc_id, sh), so
+    # |array_intersect| is exactly the join-count the oracle computes.
+    arrs = _q._persist_tracked(
+        toks.groupBy("doc_id").agg(
+            F.collect_list("tok").alias("tl"), F.count("*").alias("sz")
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("la"))
     return (
-        overlap.join(sa, "doc_a")
-        .where(F.lit(_CJ_DEN) * F.col("o") >= F.lit(_CJ_NUM) * F.col("la"))
+        cands.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("tl").alias("la"),
+                F.col("sz").alias("sza"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("tl").alias("lb")
+            ),
+            "doc_b",
+        )
+        .withColumn("o", F.size(F.array_intersect("la", "lb")).cast("long"))
+        .where(F.lit(_CJ_DEN) * F.col("o") >= F.lit(_CJ_NUM) * F.col("sza"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("o") / F.col("la"), 6).alias("containment"),
+            F.round(F.col("o") / F.col("sza"), 6).alias("containment"),
         )
     )
 

@@ -44,8 +44,14 @@ integers.
 
 Scale notes: everything here runs on bounded frames — the n_chars
 value histogram, the ≤ #sources × 6 grid, the #sources stratum
-table, the #days daily series; ``median_polish``'s median windows
-are partitioned per row / per column of the grid.
+table, the #days daily series.  ``median_polish``'s FIRST stage (the
+per-cell median of raw doc token counts) runs on the (cell, value)-
+compressed count table — token counts are bounded ints, so the
+compressed table and its cumulative-count windows are bounded even
+though the raw rows are data-scaled (the r05 shape ranked raw rows
+per cell: ≤ #sources × 6 partitions, each growing with the corpus —
+VERDICT r5 "What's wrong" #1); the sweep medians after it are
+partitioned per row / per column of the bounded grid.
 
 Reference parity: axis-B net-new corpus ops (the reference
 Bodhi42/Occular-ocr engine is per-document OCR only; SURVEY.md §2,
@@ -402,31 +408,50 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared overall (median of first-sweep row medians) and final
     residual median-absolute value on every row.
 
-    Scale: the grid is ≤ #sources × 6 cells; every median window is
-    partitioned per row / per column of that bounded grid.
+    Scale: the per-cell median stage runs on the (cell, token-count)-
+    compressed count table — token counts are bounded ints, so both the
+    compressed table and its cumulative-count windows are bounded (the
+    two-level house shape of queries_robustscale_dist); the raw rows
+    only ever cross one partial-aggregated groupBy.  The grid after it
+    is ≤ #sources × 6 cells; every sweep median window is partitioned
+    per row / per column of that bounded grid, and each sweep level is
+    persisted so the unrolled sweep references do not re-derive the
+    whole chain per branch.
     """
-    cellmed = _lower_median(
+    # lower median per cell WITHOUT ranking raw rows: compress to
+    # (g, b, y) counts (one partial-agg shuffle), then read the median
+    # off cumulative counts — the smallest y whose running count
+    # reaches rank (ct + 1) DIV 2 is exactly row_number = (ct+1) DIV 2
+    # of the uncompressed ordered partition.
+    cnt = (
         _t(spark, sf_dir, "documents")
         .select(
             F.coalesce("source", F.lit("")).alias("g"),
             F.expr(f"least(n_chars DIV {_MP_W}, {_MP_K - 1})").alias("b"),
             F.expr(_TOKN).cast("bigint").alias("y"),
         )
-        .withColumn("gb", F.expr("concat(g, '|', b)")),
-        "gb",
-        "y",
-        "y",
-    ).select(
-        F.expr("split(gb, '\\\\|')[0]").alias("g"),
-        F.expr("CAST(split(gb, '\\\\|')[1] AS BIGINT)").alias("b"),
-        F.col("y").cast("bigint").alias("y"),
+        .groupBy("g", "b", "y")
+        .agg(F.count("*").alias("_n"))
+    )
+    wcum = Window.partitionBy("g", "b").orderBy("y")
+    cellmed = _q._persist_tracked(
+        cnt.withColumn("_cum", F.sum("_n").over(wcum))
+        .withColumn("_tgt", F.expr(
+            "(sum(_n) OVER (PARTITION BY g, b) + 1) DIV 2"
+        ))
+        .where(
+            (F.col("_cum") >= F.col("_tgt"))
+            & (F.col("_cum") - F.col("_n") < F.col("_tgt"))
+        )
+        .select("g", F.col("b").cast("bigint").alias("b"),
+                F.col("y").cast("bigint").alias("y"))
     )
     # sweep 1: row medians -> row effects; overall = median of those
     row1 = _lower_median(cellmed, "g", "y", "rmed")
     overall = _lower_median(
         row1.withColumn("_one", F.lit(1)), "_one", "rmed", "ov"
     ).select("ov")
-    res1 = (
+    res1 = _q._persist_tracked(
         cellmed.join(row1, "g")
         .crossJoin(F.broadcast(overall))
         .select(
@@ -438,21 +463,25 @@ def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     col1 = _lower_median(res1, "b", "r", "cmed")
-    res2 = res1.join(col1, "b").select(
-        "g",
-        "b",
-        F.expr("r - cmed").cast("bigint").alias("r"),
-        "re1",
-        "ov",
+    res2 = _q._persist_tracked(
+        res1.join(col1, "b").select(
+            "g",
+            "b",
+            F.expr("r - cmed").cast("bigint").alias("r"),
+            "re1",
+            "ov",
+        )
     )
     # sweep 2: row medians of residuals adjust the row effects
     row2 = _lower_median(res2, "g", "r", "rmed2")
-    res3 = res2.join(row2, "g").select(
-        "g",
-        "b",
-        F.expr("r - rmed2").cast("bigint").alias("r"),
-        F.expr("re1 + rmed2").cast("bigint").alias("re"),
-        "ov",
+    res3 = _q._persist_tracked(
+        res2.join(row2, "g").select(
+            "g",
+            "b",
+            F.expr("r - rmed2").cast("bigint").alias("r"),
+            F.expr("re1 + rmed2").cast("bigint").alias("re"),
+            "ov",
+        )
     )
     col2 = _lower_median(res3, "b", "r", "cmed2")
     final = res3.join(col2, "b").select(

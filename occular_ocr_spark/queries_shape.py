@@ -280,7 +280,12 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    e0 = (
+    # e0 and e are each referenced from several downstream branches
+    # (deg0, the two anti-joins, adj twice for the wedge self-join, and
+    # the non-edge anti-join) — unpersisted, the whole shingle pyramid
+    # re-executed per reference (~5x).  Release-tracked persists compute
+    # each once; both are edge lists, far smaller than the token table.
+    e0 = _q._persist_tracked(
         groups.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("n_shared"))
@@ -294,7 +299,7 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
     )
     hubs = deg0.where(F.col("d") > _LP_DEG_CAP).select("v")
-    e = (
+    e = _q._persist_tracked(
         e0.join(hubs, e0.a == hubs.v, "left_anti")
         .join(hubs, e0.b == hubs.v, "left_anti")
     )

@@ -132,10 +132,59 @@ FROM per_a GROUP BY pair
 """
 
 
+def _pairs_df(spark: SparkSession, sf_dir: str):
+    """(pair, a, b) stream for every ordered attribute pair, plus the
+    per-(pair, a) group stats — the Spark twin of ``_pairs_sql``.
+
+    The SQL form UNION ALLs 42 separate scans of ``part`` (one per
+    pair, each inheriting the single-split fixture's 1-task scan and
+    its own codegen segment); here ``part`` is scanned ONCE and the 42
+    (pair, a, b) rows per input row are emitted map-side from one
+    inline struct array (guide §2.4 — the oracle keeps the UNION text,
+    the engines stay value-identical because explode emits exactly the
+    union's rows).
+    """
+    from pyspark.sql import functions as F
+
+    base = _q._spread(
+        _q._t(spark, sf_dir, "part")
+        .select(
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            F.expr("substr(p_brand, 1, 6)").alias("brand_pfx"),
+            F.length("p_name").alias("name_len"),
+        )
+    )
+    pairs = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(f"{a}>{b}").alias("pair"),
+                    F.col(a).cast("string").alias("a"),
+                    F.col(b).cast("string").alias("b"),
+                )
+                for a, b in permutations(_FD_COLS, 2)
+            ])
+        ).alias("p")
+    ).select("p.*")
+    ab = pairs.groupBy("pair", "a", "b").agg(F.count("*").alias("n"))
+    return ab.groupBy("pair", "a").agg(
+        F.sum("n").alias("rows_a"),
+        F.max("n").alias("max_b"),
+        F.count("*").alias("distinct_b"),
+    )
+
+
 def q_fd_candidate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact FD check for every ordered attribute pair."""
-    _q._register_views(spark, sf_dir, ["part"])
-    return spark.sql(_fd_sql("spark"))
+    from pyspark.sql import functions as F
+
+    return _pairs_df(spark, sf_dir).groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("lhs_groups"),
+        F.sum(F.when(F.col("distinct_b") > 1, 1).otherwise(0))
+        .cast("bigint").alias("violating_groups"),
+        (F.sum(F.when(F.col("distinct_b") > 1, 1).otherwise(0)) == 0)
+        .cast("boolean").alias("holds"),
+    )
 
 
 ORACLE_FD_CANDIDATE_SCAN = _fd_sql("duck")
@@ -162,8 +211,17 @@ FROM per_a GROUP BY pair
 
 def q_afd_g3_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g3 approximate-FD error per pair, half-up micro."""
-    _q._register_views(spark, sf_dir, ["part"])
-    return spark.sql(_g3_sql("spark"))
+    from pyspark.sql import functions as F
+
+    return _pairs_df(spark, sf_dir).groupBy("pair").agg(
+        F.sum("rows_a").cast("bigint").alias("n_rows"),
+        (F.sum("rows_a") - F.sum("max_b")).cast("bigint")
+        .alias("rows_to_delete"),
+        F.expr(
+            "CAST((2000000 * (sum(rows_a) - sum(max_b)) + sum(rows_a))"
+            " DIV (2 * sum(rows_a)) AS BIGINT)"
+        ).alias("g3_micro"),
+    )
 
 
 ORACLE_AFD_G3_ERROR = _g3_sql("duck")

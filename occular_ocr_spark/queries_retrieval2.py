@@ -401,7 +401,11 @@ def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = _postings(spark, sf_dir)
     dfc = postings.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.orderBy(F.col("df").desc(), "tok")
-    top = (
+    # top is read twice (the pos broadcast and the labels broadcast) and
+    # pos twice (the a/b sides of the distance join) — persisted, each
+    # branch reads the cache instead of re-running the df window / the
+    # full position explode of the corpus.
+    top = _q._persist_tracked(
         dfc.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= 2 * _TP_PAIRS)
         .selectExpr(
@@ -410,7 +414,7 @@ def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r % 2 AS side",
         )
     )
-    pos = (
+    pos = _q._persist_tracked(
         docs.select(
             "doc_id",
             F.posexplode(

@@ -120,11 +120,15 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, so the signature join broadcasts.  No new shuffle class.
     """
     pairs = _q.q_dedup_minhash_verify(spark, sf_dir)
-    sig = _shingles(spark, sf_dir).groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws(":", F.lit(k), F.col("sh")))).alias(f"mh{k}")
-            for k in range(_MINHASH_SEEDS)
-        ]
+    # persisted: both join sides (sa, sb) read the signature table, and
+    # unpersisted each side re-ran the shingle pyramid + K-min md5 pass
+    sig = _q._persist_tracked(
+        _shingles(spark, sf_dir).groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat_ws(":", F.lit(k), F.col("sh")))).alias(f"mh{k}")
+                for k in range(_MINHASH_SEEDS)
+            ]
+        )
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import queries as _q
 from . import queries_ext as _ext
-from .queries import _register_views, _t
+from .queries import _persist_tracked, _register_views, _t
 
 # ---------------------------------------------------------------------------
 # Explicit skew-salted join
@@ -891,10 +891,20 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.unionAll(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Persist the symmetrized edge table keyed by src: every iteration
+    # joins it on src twice (ranks, degrees), and unpersisted each of
+    # those references re-derived the orders⋈lineitem distinct from
+    # scratch (2 iterations + deg + n_df ≈ 7 re-derivations).  The
+    # repartition keys the cache so the per-iteration src-side joins
+    # and deg's groupBy(src) reuse the partitioning with no further
+    # edge-table exchange (guide §2.4); deg is node-sized, persisted
+    # for the same once-not-thrice reason.
+    edges = _persist_tracked(
+        pairs.unionAll(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("src")
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    deg = _persist_tracked(edges.groupBy("src").agg(F.count("*").alias("d")))
     n_df = edges.agg(F.countDistinct("src").alias("n"))
     ranks = deg.crossJoin(F.broadcast(n_df)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).cast("float").alias("r")

@@ -478,7 +478,9 @@ def q_ngram_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on that bounded frame.  Integers end-to-end; the coverage is
     the half-up micro-division.
     """
-    sh_occ = (
+    # persisted: both the histogram and the totals row read the shingle
+    # counts, and unpersisted each re-ran the shingle pyramid + groupBy
+    sh_occ = _q._persist_tracked(
         _shingles(spark, sf_dir)
         .groupBy("sh")
         .agg(F.count("*").alias("c"))

@@ -318,7 +318,12 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # symmetric match counts n_ij (i -> j, both orientations) and
     # per-source total wins
-    sym = (
+    # sym / n_ij / tot_w are ≤ S²-sized but each reference below
+    # (n_ij's two sides, tot_w, every MM iteration, the final report)
+    # re-derived them — and through sym, the corpus-sized adjacent-pair
+    # join — from scratch.  Release-tracked persists run the corpus
+    # pass once; iterations touch only the cached pair frame.
+    sym = _q._persist_tracked(
         wins.select(F.col("w").alias("i"), F.col("l").alias("j"), "n_w")
         .unionByName(
             wins.select(
@@ -330,7 +335,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("n_w").alias("w_ij"))
     )
-    n_ij = (
+    n_ij = _q._persist_tracked(
         sym.alias("x")
         .join(
             sym.select(
@@ -342,7 +347,9 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", "j", (F.col("w_ij") + F.col("w_ji")).alias("n_ij"))
     )
-    tot_w = sym.groupBy("i").agg(F.sum("w_ij").alias("w_tot"))
+    tot_w = _q._persist_tracked(
+        sym.groupBy("i").agg(F.sum("w_ij").alias("w_tot"))
+    )
     ratings = tot_w.select("i", F.lit(1.0).cast("float").alias("p"))
     for _ in range(_BT_ITERS):
         pj = ratings.select(F.col("i").alias("j"), F.col("p").alias("p_j"))

@@ -153,7 +153,13 @@ def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(Row(rank=r, doc_id=doc, gain=gain, covered_total=total))
         chosen.append(doc)
         new_cov = words.where(F.col("doc_id") == doc).select("w")
-        covered = new_cov if covered is None else covered.unionAll(new_cov).distinct()
+        # persisted per round: the covered set is re-read by every later
+        # round's anti-join broadcast, and unpersisted the union/distinct
+        # chain re-executed from round 1 each time (O(k²) small jobs)
+        covered = _q._persist_tracked(
+            new_cov if covered is None
+            else covered.unionAll(new_cov).distinct()
+        )
     return spark.createDataFrame(
         rows, "rank int, doc_id long, gain long, covered_total long"
     )

@@ -180,9 +180,13 @@ def q_pair_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .withColumn("n", F.explode(F.array(F.lit(1), F.lit(2))))
     )
-    grams = _gram_counts(
-        _t(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    # persisted: three branches (ref totals, a-side, b-side) read the
+    # gram counts — unpersisted each re-ran the token-stream groupBy
+    grams = _q._persist_tracked(
+        _gram_counts(
+            _t(spark, sf_dir, "documents").select(
+                F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+            )
         )
     )
     ref_tot = grams.groupBy("doc_id", "n").agg(

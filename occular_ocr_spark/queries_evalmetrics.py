@@ -133,10 +133,13 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _q.q_dedup_minhash_verify(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
-    grams = _grams12(spark, sf_dir)
-    tot = grams.groupBy("doc_id", "n").agg(
+    # persisted: four branches (tot, cand, ref, and the length joins
+    # through tot) read the gram counts — unpersisted each re-ran the
+    # 1+2-gram explode + groupBy
+    grams = _q._persist_tracked(_grams12(spark, sf_dir))
+    tot = _q._persist_tracked(grams.groupBy("doc_id", "n").agg(
         F.sum("cnt").cast("bigint").alias("tot")
-    )
+    ))
     cand = grams.join(
         F.broadcast(pairs), grams.doc_id == pairs.doc_b
     ).select("doc_a", "doc_b", "n", "gram", F.col("cnt").alias("cb"))
@@ -317,13 +320,19 @@ def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side char-trigram multisets, pair-broadcast overlap
     equi-join on (doc, gram).
     """
-    tri = (
-        _t(spark, sf_dir, "documents")
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.expr("replace(coalesce(text, ''), ' ', '')").alias("s"),
+    # _spread before the char-trigram explode (the heaviest map stage
+    # here; no-op at scale — guide §2.5); persisted because three
+    # branches (tot, cand, ref) read the trigram counts and unpersisted
+    # each re-ran the explode + groupBy
+    tri = _q._persist_tracked(
+        _q._spread(
+            _t(spark, sf_dir, "documents")
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.expr("replace(coalesce(text, ''), ' ', '')").alias("s"),
+            )
+            .where(F.expr("length(s) >= 3"))
         )
-        .where(F.expr("length(s) >= 3"))
         .select(
             "doc_id",
             F.explode(

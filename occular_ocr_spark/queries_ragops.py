@@ -529,20 +529,27 @@ def q_retrieval_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfc = postings.groupBy("tok").agg(F.count("*").alias("df"))
     qterms = dfc.orderBy(F.col("df").desc(), "tok").limit(_RD_Q)
     w = Window.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
-    cands = (
+    # cands / dtok / pairs each feed 2-3 downstream branches; persisted
+    # (release-tracked) so the ranking window, the candidate-postings
+    # join, and the pair expansion run once instead of per reference
+    cands = _q._persist_tracked(
         postings.join(F.broadcast(qterms.select("tok")), "tok")
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _RD_K)
         .select(F.col("tok").alias("qt"), "doc_id")
     )
     cdocs = cands.select("doc_id").distinct()
-    dtok = postings.join(F.broadcast(cdocs), "doc_id").select("doc_id", "tok")
+    dtok = _q._persist_tracked(
+        postings.join(F.broadcast(cdocs), "doc_id").select("doc_id", "tok")
+    )
     sizes = dtok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     pa = cands.select("qt", F.col("doc_id").alias("doc_a"))
     pb = cands.select(F.col("qt").alias("qtb"), F.col("doc_id").alias("doc_b"))
-    pairs = pa.join(
-        pb, (pa.qt == pb.qtb) & (pa.doc_a < pb.doc_b)
-    ).select("qt", "doc_a", "doc_b")
+    pairs = _q._persist_tracked(
+        pa.join(
+            pb, (pa.qt == pb.qtb) & (pa.doc_a < pb.doc_b)
+        ).select("qt", "doc_a", "doc_b")
+    )
     ta = dtok.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = dtok.select(F.col("doc_id").alias("doc_b2"), F.col("tok").alias("tok_b"))
     inter = (

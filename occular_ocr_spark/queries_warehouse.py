@@ -151,7 +151,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    # persisted: the wedge enumeration reads the edge list three times
+    # (e1/e2/e3), and unpersisted each alias re-ran the per-order
+    # supplier self-join — the heaviest stage here — from scratch
+    edges = _q._persist_tracked(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))

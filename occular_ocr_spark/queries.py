@@ -2497,7 +2497,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id", "text").mapInPandas(
+    # _spread: the Python fingerprint kernel otherwise inherits the
+    # scan's single local split (no-op at scale — guide §2.5)
+    return _spread(d.select("doc_id", "text")).mapInPandas(
         fp, "doc_id bigint, fingerprint bigint"
     )
 

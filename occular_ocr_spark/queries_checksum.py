@@ -287,8 +287,10 @@ def q_row_digest_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one NDV partial agg per table over the map-side digest.
     """
+    # _spread before the per-row digest (CPU-heavy map work above a
+    # single-split scan locally; no-op at scale — guide §2.5)
     doc = (
-        _t(spark, sf_dir, "documents")
+        _q._spread(_t(spark, sf_dir, "documents"))
         .selectExpr(f"{_dig_spark(_doc_row_spark())} AS dig")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
@@ -302,7 +304,7 @@ def q_row_digest_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     li = (
-        _t(spark, sf_dir, "lineitem")
+        _q._spread(_t(spark, sf_dir, "lineitem"))
         .selectExpr(f"{_dig_spark(_LI_ROW_SPARK)} AS dig")
         .agg(
             F.count("*").cast("long").alias("n_rows"),

@@ -458,7 +458,9 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["chunk"].append(t[s - 1 : e])
             yield pd.DataFrame(out)
 
-    return d.select("doc_id", "text").mapInPandas(
+    # _spread: the Python chunking kernel otherwise inherits the
+    # scan's single local split (no-op at scale — guide §2.5)
+    return _q._spread(d.select("doc_id", "text")).mapInPandas(
         chunker,
         "doc_id bigint, chunk_idx bigint, start bigint, "
         "chunk_len bigint, chunk string",

@@ -343,7 +343,10 @@ def q_pair_idf_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     over only the candidate docs' tokens.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = (
+    # toks feeds idf AND the weighted-token build; wtoks feeds three
+    # branches (totals, a-side, b-side) — both persisted so the explode
+    # + distinct + idf join run once, not per reference
+    toks = _q._persist_tracked(
         d.select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.explode(F.split("text", " ")).alias("tok"),
@@ -358,7 +361,9 @@ def q_pair_idf_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select("tok", (F.log(F.col("n_docs")) - F.log(F.col("df"))).alias("idf"))
     )
-    wtoks = toks.join(idf, "tok").select("doc_id", "tok", "idf")
+    wtoks = _q._persist_tracked(
+        toks.join(idf, "tok").select("doc_id", "tok", "idf")
+    )
     totals = wtoks.groupBy("doc_id").agg(F.sum("idf").alias("t_idf"))
     cands = _minhash_candidates(_shingles(spark, sf_dir))
     a = wtoks.join(

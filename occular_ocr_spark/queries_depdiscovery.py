@@ -345,9 +345,46 @@ LEFT JOIN fds f ON f.pair = c.col_a || '>' || c.col_c
 
 def q_fd_transitivity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Armstrong transitivity over the discovered FDs — must hold
-    universally."""
-    _q._register_views(spark, sf_dir, ["part"])
-    return spark.sql(_trans_sql("spark"))
+    universally.
+
+    Built on the shared one-scan ``_pairs_df`` kernel; ``fds`` is
+    persisted because Spark inlines CTEs, so the SQL form re-ran the
+    42-leg pairs pyramid once per reference (held a, held b, and the
+    final left join).
+    """
+    fds = _q._persist_tracked(
+        _pairs_df(spark, sf_dir).groupBy("pair").agg(
+            (F.sum(F.when(F.col("distinct_b") > 1, 1).otherwise(0)) == 0)
+            .alias("holds")
+        )
+    )
+    held = fds.where("holds").select(
+        F.expr("split(pair, '>')[0]").alias("lhs"),
+        F.expr("split(pair, '>')[1]").alias("rhs"),
+    )
+    a, b = held.alias("a"), held.alias("b")
+    chains = (
+        a.join(b, F.col("b.lhs") == F.col("a.rhs"))
+        .where(
+            (F.col("b.rhs") != F.col("a.lhs"))
+            & (F.col("b.rhs") != F.col("a.rhs"))
+        )
+        .select(
+            F.col("a.lhs").alias("col_a"),
+            F.col("a.rhs").alias("col_b"),
+            F.col("b.rhs").alias("col_c"),
+        )
+    )
+    return chains.join(
+        fds,
+        F.col("pair") == F.concat_ws(">", F.col("col_a"), F.col("col_c")),
+        "left",
+    ).select(
+        "col_a",
+        "col_b",
+        "col_c",
+        F.coalesce("holds", F.lit(False)).alias("a_to_c_holds"),
+    )
 
 
 ORACLE_FD_TRANSITIVITY_CHECK = _trans_sql("duck")

@@ -131,7 +131,9 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "n_fp": n_fp, "fp_digest": digests}
             )
 
-    return d.select("doc_id", "text").mapInPandas(
+    # _spread: the Python winnowing kernel otherwise inherits the
+    # scan's single local split (no-op at scale — guide §2.5)
+    return _q._spread(d.select("doc_id", "text")).mapInPandas(
         winnow, "doc_id bigint, n_fp int, fp_digest string"
     )
 
@@ -222,7 +224,9 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"doc_id": np.concatenate(ids), "khash": np.concatenate(khs)}
                 )
 
-    fp = d.select("doc_id", "text").mapInPandas(
+    # _spread: same single-split winnowing-kernel fix as
+    # winnow_fingerprints above
+    fp = _q._spread(d.select("doc_id", "text")).mapInPandas(
         hashes, "doc_id bigint, khash bigint"
     )
     groups = (

@@ -553,8 +553,12 @@ def q_fuzzy_join_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("nm"), i + 1, F.length("nm")),
         ),
     )
+    # _spread before the deletion-neighborhood explode (len+1 substring
+    # pairs per name — the heavy map stage; single local split
+    # otherwise, no-op at scale — guide §2.5)
     sigs = (
-        c.select(
+        _q._spread(c)
+        .select(
             "id",
             F.explode(F.concat(F.array(F.col("nm")), del1)).alias("sig"),
         )

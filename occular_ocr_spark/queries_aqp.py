@@ -54,6 +54,17 @@ _SWEEP = [1, 5, 10, 20]
 
 def _h100(col: str, salt: str, dialect: str) -> str:
     strtype = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        # ONE md5 per row: the first 4 hex digits as an integer via
+        # conv(, 16, 10) — value-identical to the digit-by-digit form
+        # below, which evaluates md5 four times per row (Catalyst's
+        # subexpression elimination does not collapse them across the
+        # instr/substr nesting; measured 4x the hash cost on the
+        # sampled scans).  The oracle keeps the digit form.
+        return (
+            f"(CAST(conv(substr(md5(CAST({col} AS {strtype})"
+            f" || ':{salt}'), 1, 4), 16, 10) AS BIGINT) % 100)"
+        )
 
     def hexv(j: int) -> str:
         return (
@@ -108,9 +119,45 @@ SELECT CAST({_TK} AS BIGINT) AS k,
 
 
 def q_sampled_topk_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact vs sampled top-K parts: overlap, Jaccard, worst error."""
-    _q._register_views(spark, sf_dir, ["lineitem"])
-    return spark.sql(_topk_sql("spark"))
+    """Exact vs sampled top-K parts: overlap, Jaccard, worst error.
+
+    DataFrame twin of ``_topk_sql``: Spark inlines CTEs, so the SQL
+    form's three scalar subqueries over ``ov`` re-ran BOTH top-K
+    chains once per reference (~4x); here the ≤K-row overlap join is
+    computed once and all three fidelity numbers come out of ONE agg
+    row.  The md5-per-row sample hash runs above a scale-adaptive
+    fan-out (single local split otherwise; no-op at scale).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    rev = F.sum(F.expr("CAST(floor(l_extendedprice) AS BIGINT)"))
+    ex_top = (
+        li.groupBy("l_partkey")
+        .agg(rev.cast("bigint").alias("rev"))
+        .orderBy(F.col("rev").desc(), "l_partkey")
+        .limit(_TK)
+    )
+    h = _h100("l_orderkey || '-' || l_linenumber", "tk", "spark")
+    samp_top = (
+        _q._spread(li)
+        .where(F.expr(f"{h} < {_RATE}"))
+        .groupBy("l_partkey")
+        .agg((rev * (100 // _RATE)).cast("bigint").alias("est_rev"))
+        .orderBy(F.col("est_rev").desc(), "l_partkey")
+        .limit(_TK)
+    )
+    ov = ex_top.join(samp_top, "l_partkey")
+    return ov.agg(
+        F.count("*").alias("nov"),
+        F.max(F.expr("abs(est_rev - rev)")).alias("werr"),
+    ).selectExpr(
+        f"CAST({_TK} AS BIGINT) AS k",
+        "CAST(nov AS BIGINT) AS overlap",
+        f"CAST((2000000 * nov + (2 * {_TK} - nov))"
+        f" DIV (2 * (2 * {_TK} - nov)) AS BIGINT) AS jaccard_micro",
+        "CAST(coalesce(werr, 0) AS BIGINT) AS worst_abs_error",
+    )
 
 
 ORACLE_SAMPLED_TOPK_FIDELITY = _topk_sql("duck")

@@ -57,8 +57,10 @@ axis-B net-new (SURVEY.md §2 "LLM-data pipeline ops").
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import tempfile
 from typing import Dict, List, Optional
 
@@ -164,6 +166,16 @@ def _commit_stage(
         json.dump(entry, f)
     os.replace(tmp, _manifest_path(out_dir, stage))
     return back
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint'ed DataFrame's storage blocks.  The
+    checkpoint blocks belong to the LogicalRDD's RDD, which
+    ``Dataset.unpersist`` (cache-manager only) never touches."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort storage reclaim
+        pass
 
 
 def _read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
@@ -301,16 +313,27 @@ def _near_dup_canonical(df: DataFrame) -> DataFrame:
     sum_expr = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(sum_expr).collect()[0][0]
     converged = False
+    # +1 like queries_ext.q_dedup_groups: a diameter-_CC_MAX_ROUNDS
+    # component needs that many changing rounds plus one no-change
+    # round to CONFIRM the fixpoint (ADVICE r5: the loop bound and the
+    # error message used to disagree)
     for _ in range(_CC_MAX_ROUNDS + 1):
         prop = labels.join(edges, labels.doc_id == edges.src).select(
             F.col("dst").alias("doc_id"), F.col("lbl")
         )
+        prev_labels = labels
         labels = (
             labels.union(prop)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        # the new checkpoint no longer reads the previous round's
+        # blocks — release them instead of accumulating one copy of
+        # the label table per round in executor storage (ADVICE r5).
+        # Dataset.unpersist() only touches the cache manager, not
+        # checkpoint blocks; the LogicalRDD's own rdd must be released.
+        _release_checkpoint(prev_labels)
         cur_sum = labels.agg(sum_expr).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -321,7 +344,8 @@ def _near_dup_canonical(df: DataFrame) -> DataFrame:
     if not converged:
         raise RuntimeError(
             f"pipeline_e2e dedup_near: CC did not converge in "
-            f"{_CC_MAX_ROUNDS} rounds — see queries_ext.q_dedup_groups"
+            f"{_CC_MAX_ROUNDS} changing rounds (+1 confirm round) — see "
+            "queries_ext.q_dedup_groups"
         )
     keep = labels.where(F.col("doc_id") == F.col("lbl")).select("doc_id")
     return df.join(keep, "doc_id")
@@ -345,6 +369,9 @@ def run_pipeline(
     resume test).  Returns {stage: manifest} for all committed stages.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # a stage manifest is only trusted when its recorded chain matches
+    # this run (ADVICE r5) — inconsistent suffixes recompute below
+    _invalidate_inconsistent(out_dir, src_snapshot_id)
     docs = _t(spark, sf_dir, "documents")
 
     def done(stage: str) -> bool:
@@ -531,6 +558,37 @@ def run_pipeline(
     return manifests(out_dir)
 
 
+def _invalidate_inconsistent(out_dir: str, src_snapshot_id: int) -> None:
+    """Resume must not trust manifest PRESENCE alone (ADVICE r5): a
+    committed stage is reusable only if its recorded chain still holds —
+    same snapshot and pipeline version as the requested run, and its
+    ``upstream_digest`` equal to the previous stage's ``digest_sum``.
+    The first stage that fails the check (or any stage committed after
+    a missing one — unverifiable orphans) has its manifest removed, so
+    ``run_pipeline`` recomputes from there instead of silently reusing
+    stages built from a different input."""
+    prev_digest: Optional[int] = None
+    broken: Optional[str] = None
+    for s in STAGES:
+        m = stage_manifest(out_dir, s)
+        if m is None:
+            broken = s  # later manifests (if any) are orphans
+            break
+        if (
+            m.get("src_snapshot_id") != src_snapshot_id
+            or m.get("pipeline_version") != PIPELINE_VERSION
+            or m.get("upstream_digest") != prev_digest
+        ):
+            broken = s
+            break
+        prev_digest = m["digest_sum"]
+    if broken is not None:
+        for s in STAGES[STAGES.index(broken):]:
+            p = _manifest_path(out_dir, s)
+            if os.path.exists(p):
+                os.remove(p)
+
+
 def manifests(out_dir: str) -> Dict[str, dict]:
     return {
         s: m for s in STAGES if (m := stage_manifest(out_dir, s)) is not None
@@ -566,6 +624,15 @@ def shard_manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _E2E_MEMO: Dict[tuple, str] = {}
+
+
+@atexit.register
+def _cleanup_e2e_memo() -> None:
+    """Reclaim the memoized staged-artifact dirs at interpreter exit
+    (ADVICE r5: repeated bench/gate sessions leaked full 8-stage
+    pipeline copies under /tmp)."""
+    while _E2E_MEMO:
+        shutil.rmtree(_E2E_MEMO.popitem()[1], ignore_errors=True)
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -823,7 +823,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE groupBy(sh) caps hot shingles AND materializes the doc-list;
     # pairs expand inside the array (bounded by cap²/2 per shingle), so
     # the self-join on `sh` — two more full-shingle shuffles — is gone.
-    groups = (
+    # Persisted: both the size rollup and the pair expansion read it;
+    # unpersisted each re-ran the shingle pyramid + groupBy.
+    groups = _persist_tracked(
         sh.groupBy("sh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .where(F.size("docs") <= 100)

@@ -161,7 +161,10 @@ def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.repartition(
         d.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    w = _span_window_hashes(d)
+    # persisted: both the duplicate-digest rollup and the bad-position
+    # join read the window hashes — unpersisted each re-ran the rolling
+    # digest pass
+    w = _q._persist_tracked(_span_window_hashes(d))
     dup = (
         w.groupBy("win_h")
         .agg(

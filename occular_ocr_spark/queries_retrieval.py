@@ -327,7 +327,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    # persisted: both the positive and negative rankings read the
+    # scored frame — unpersisted each re-ran the 4-way scoring join
+    scored = _q._persist_tracked(
         postings.join(F.broadcast(qterms), "tok")
         .join(doclen, "doc_id")
         .join(lang_tbl, "doc_id")

@@ -1638,7 +1638,12 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     of approx_distinct covers that variant.  Sums/means round
     (partial-agg order); counts/min/max are exact on both engines.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread before the agg: the exact-NDV Expand multiplies every row
+    # by the distinct-column count inside the scan stage (single local
+    # split otherwise; no-op at scale — guide §2.5)
+    li = _q._spread(
+        _t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    )
     aggs = []
     for c in _PROFILE_COLS:
         for stat, builder, _ in _PROFILE_STATS:

@@ -154,3 +154,44 @@ def test_shard_round_robin_balance(spark, tmp_path):
         by_split.setdefault(r["split"], []).append(r["n_bins"])
     for split, counts in by_split.items():
         assert max(counts) - min(counts) <= 1, (split, counts)
+
+
+def test_resume_rejects_inconsistent_manifest_chain(spark, tmp_path):
+    """ADVICE r5: resume must verify the manifest CHAIN, not just
+    presence — a re-run into the same out_dir with a different snapshot
+    recomputes instead of silently reusing stale stages, and a stage
+    whose upstream digest no longer matches invalidates its suffix."""
+    out_dir = str(tmp_path / "chain")
+    P.run_pipeline(spark, SF, out_dir, src_snapshot_id=1)
+    before = P.manifests(out_dir)
+    assert all(m["src_snapshot_id"] == 1 for m in before.values())
+
+    # same snapshot: every stage reuses its committed manifest
+    P.run_pipeline(spark, SF, out_dir, src_snapshot_id=1)
+    assert P.manifests(out_dir) == before
+
+    # different snapshot: the whole chain is recomputed under the new id
+    P.run_pipeline(spark, SF, out_dir, src_snapshot_id=2)
+    after = P.manifests(out_dir)
+    assert all(m["src_snapshot_id"] == 2 for m in after.values())
+
+    # tampered mid-chain digest: the downstream suffix is invalidated
+    # and recommitted against the (tampered) upstream value
+    import json as _json
+
+    qpath = P._manifest_path(out_dir, "quality")
+    with open(qpath) as f:
+        qman = _json.load(f)
+    qman["digest_sum"] += 1
+    with open(qpath, "w") as f:
+        _json.dump(qman, f)
+    P._invalidate_inconsistent(out_dir, src_snapshot_id=2)
+    left = P.manifests(out_dir)
+    assert set(left) == {"extract", "quality"}
+
+    # orphan manifests (a missing mid-chain stage) are also invalidated
+    os.remove(P._manifest_path(out_dir, "quality"))
+    P.run_pipeline(spark, SF, out_dir, src_snapshot_id=2)
+    full = P.manifests(out_dir)
+    assert set(full) == set(P.STAGES)
+    assert all(m["src_snapshot_id"] == 2 for m in full.values())

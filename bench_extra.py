@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.1"))
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--plans-only", action="store_true",
+                    help="skip the timing passes; just capture plans")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -65,7 +67,7 @@ def main() -> int:
         fn = QUERIES[name]
         spark.sparkContext.setJobDescription(f"bench_extra:{name}")
         best = None
-        for _ in range(args.passes):
+        for _ in range(0 if args.plans_only else args.passes):
             t0 = time.perf_counter()
             df = fn(spark, args.sf)
             df.write.format("noop").mode("overwrite").save()
@@ -79,8 +81,9 @@ def main() -> int:
                     df._jdf.queryExecution(), "formatted"))
         release_persists()
         spark.sparkContext.setJobDescription(None)
-        timings[name] = round(best, 3)
-        print(f"{name}: {best:.3f}s", file=sys.stderr)
+        if best is not None:
+            timings[name] = round(best, 3)
+            print(f"{name}: {best:.3f}s", file=sys.stderr)
     spark.stop()
     print(json.dumps({"queries": timings, "sf_dir": args.sf,
                       "passes": args.passes}))

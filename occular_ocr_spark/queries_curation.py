@@ -87,7 +87,9 @@ def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes PAIRS and therefore caps).
     """
     d = _t(spark, sf_dir, "documents")
-    w = _span_window_hashes(d)
+    # persisted: the df rollup and the join back both read the window
+    # hashes — unpersisted each re-ran the rolling digest pass
+    w = _q._persist_tracked(_span_window_hashes(d))
     wf = w.groupBy("win_h").agg(F.countDistinct("doc_id").alias("df"))
     per_doc = (
         w.join(wf, "win_h")

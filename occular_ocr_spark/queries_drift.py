@@ -347,7 +347,10 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-label self-pairing on the 1-row result; at 100 TB this is one
     map-side-combined pass.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread before the moment scan: 15 decimal(38,0) product-sums per
+    # row are CPU-heavy map work above a single-split local scan (no-op
+    # at scale — guide §2.5)
+    li = _q._spread(_t(spark, sf_dir, "lineitem").select(*_CORR_COLS))
     cents = {
         c: F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")
         for c in _CORR_COLS

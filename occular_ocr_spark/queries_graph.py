@@ -202,11 +202,14 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach endpoint degrees, one global partial agg to a SINGLE row.
     No collect, no window, no float accumulation.
     """
-    edges = _coorder_edges(spark, sf_dir)
+    # persisted: sym feeds the degree agg and both endpoint joins, and
+    # deg is read twice (du/dv) — unpersisted each reference re-ran the
+    # lineitem co-order self-join
+    edges = _q._persist_tracked(_coorder_edges(spark, sf_dir))
     sym = edges.select(
         F.col("lo").alias("u"), F.col("hi").alias("v")
     ).union(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
-    deg = (
+    deg = _q._persist_tracked(
         sym.groupBy("u")
         .agg(F.count("*").cast("bigint").alias("d"))
     )

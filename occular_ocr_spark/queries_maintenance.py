@@ -81,7 +81,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), nch - 1),
         lambda i: F.array_join(F.slice(arr, i * _LD_K + 1, _LD_K), " "),
     )
-    base = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    # persisted: the frequency rollup and the join back both read the
+    # chunk stream — unpersisted each re-ran the chunking explode; the
+    # _spread puts the heavy array math on all cores locally (no-op at
+    # scale — guide §2.5)
+    base = _q._persist_tracked(
+        _q._spread(d.select("doc_id", "text")).select(
+            "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+        )
+    )
     hot = (
         base.groupBy("chunk")
         .count()

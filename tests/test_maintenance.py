@@ -163,7 +163,11 @@ def test_shard_interleave_no_global_sort(spark):
     from tests.test_plans import n_nodes, plan_of
 
     p = plan_of(q_shard_interleave(spark, SF))
-    assert "hashpartitioning(source" in p  # window partitioned by source
+    # level-2 window partitioned by (source, bucket) — still source-keyed
+    assert "hashpartitioning(source" in p
     assert "rangepartitioning" not in p
-    # the corpus scalar rides a 1-row broadcast nested-loop join
-    assert n_nodes(p, "BroadcastNestedLoopJoin") == 1
+    # corpus scalars (n_sources, and since r6 the max-doc_id bucket
+    # width feeding the two-level rank) ride 1-row broadcast
+    # nested-loop joins — never a shuffle
+    assert n_nodes(p, "BroadcastNestedLoopJoin") >= 1
+    assert "SortMergeJoin" not in p

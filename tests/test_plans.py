@@ -115,11 +115,21 @@ def test_exact_dedup_single_shuffle(spark):
     assert n_nodes(p, "HashAggregate") == 2
 
 
-@pytest.mark.parametrize("qname", ["quality_score", "doc_fingerprint"])
-def test_map_side_text_metrics_zero_exchanges(spark, qname):
+def test_map_side_text_metrics_zero_exchanges(spark):
     # lang_quality's shape: pure map-side arithmetic, NO shuffle at all
-    p = plan_of(Q.QUERIES[qname](spark, SF_DIR))
+    p = plan_of(Q.QUERIES["quality_score"](spark, SF_DIR))
     assert n_nodes(p, "Exchange") == 0
+
+
+def test_doc_fingerprint_map_side_plus_fanout_only(spark):
+    """r6: the Python fingerprint kernel sits above the scale-adaptive
+    fan-out (_spread) — on the 1-split local fixture that is ONE
+    round-robin exchange (a no-op at scale), and nothing else: no
+    aggregation exchange, no join."""
+    p = plan_of(Q.QUERIES["doc_fingerprint"](spark, SF_DIR))
+    assert n_nodes(p, "Exchange") <= 1
+    assert "Join" not in p
+    assert "hashpartitioning" not in p  # fan-out is round-robin
 
 
 def test_embed_cosine_pair_join_is_shuffled_not_broadcast(spark):
@@ -460,11 +470,13 @@ def test_profile_table_single_pass(spark):
     fold in a single aggregation pass over ONE table scan."""
     p = plan_of(Q.QUERIES["profile_table"](spark, SF_DIR))
     assert "Expand" in p
-    # exactly two exchanges: the exact-NDV stage hash-partitions on
-    # the distinct-value columns (NDV-scaled — the honest cost of
-    # EXACT countDistinct; approx_count_distinct is the 1-row swap),
-    # then a SinglePartition merge of the 1-row finals
-    assert n_nodes(p, "Exchange") == 2
+    # the exact-NDV stage hash-partitions on the distinct-value columns
+    # (NDV-scaled — the honest cost of EXACT countDistinct;
+    # approx_count_distinct is the 1-row swap), then a SinglePartition
+    # merge of the 1-row finals; r6 adds the scale-adaptive fan-out
+    # exchange below the Expand (no-op at scale) so the row-multiplying
+    # Expand runs on all cores locally
+    assert n_nodes(p, "Exchange") == 3
     assert "hashpartitioning" in p and "SinglePartition" in p
     assert "EvalPython" not in p
 
@@ -733,12 +745,17 @@ def test_zscore_outliers_broadcast_stats_one_fact_scan(spark):
 
 
 def test_preference_pairs_grouped_window_no_self_join(spark):
-    """The rank window hash-partitions by source (never global) and the
-    pairing is a groupBy — no self-join of the ranked stream."""
+    """r6 two-level rank: a bounded prefix window over the compressed
+    (source, score) counts plus a row_number window partitioned by
+    (source, score) — never a full-rank window keyed by source alone
+    (fixed cardinality; VERDICT r5 #1); the prefix attaches via a
+    broadcast join and the pairing stays a groupBy — no self-join of
+    the ranked stream, no shuffle join anywhere."""
     p = plan_of(Q.QUERIES["preference_pairs"](spark, SF_DIR))
-    assert n_nodes(p, "Window") == 1
+    assert n_nodes(p, "Window") == 2
     assert "hashpartitioning(source" in p
-    assert "Join" not in p and "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
 
 
 def test_padding_waste_single_pass_bounded_keys(spark):

@@ -555,18 +555,18 @@ def q_fuzzy_join_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _spread before the deletion-neighborhood explode (len+1 substring
     # pairs per name — the heavy map stage; single local split
-    # otherwise, no-op at scale — guide §2.5)
-    sigs = (
+    # otherwise, no-op at scale — guide §2.5).  collect_set dedups ids
+    # within each signature, so the r05 shape's separate distinct()
+    # exchange before the bucket groupBy is gone — ONE sig-keyed
+    # shuffle builds the deduped buckets (guide §2.4).
+    buckets = (
         _q._spread(c)
         .select(
             "id",
             F.explode(F.concat(F.array(F.col("nm")), del1)).alias("sig"),
         )
-        .distinct()
-    )
-    buckets = (
-        sigs.groupBy("sig")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .groupBy("sig")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= _FJ_CAP))
     )
     pair_structs = F.flatten(

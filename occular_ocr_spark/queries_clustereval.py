@@ -426,8 +426,12 @@ def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (token, doc) partial agg, one bounded top-K, three
     rank windows over the constant K-row frame.
     """
+    # _spread before the token explode + distinct-doc partial agg
+    # (single local split otherwise; no-op at scale — guide §2.5):
+    # sf1 wall time halves (2.88 s -> 1.35 s) for ~0.2 s of local
+    # fan-out cost
     per = (
-        _t(spark, sf_dir, "documents")
+        _q._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .select(
             "doc_id",
             F.explode(

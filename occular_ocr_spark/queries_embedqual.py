@@ -255,9 +255,84 @@ GROUP BY probe_id, probe_label
 
 
 def q_label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K neighbor label purity for the bounded probe set."""
-    _q._register_views(spark, sf_dir, ["embeddings"])
-    return spark.sql(_knn_sql("spark"))
+    """Top-K neighbor label purity for the bounded probe set.
+
+    DataFrame twin of ``_knn_sql`` (oracle text unchanged): Spark
+    inlines CTEs, so the SQL form re-built the milli-quantized code
+    table once per reference (probes, probe-side codes, candidate
+    side) AND its dot-product join exchanged the FULL candidate code
+    table keyed by ``dim`` — a fixed-cardinality key whose partitions
+    are data-scaled (the source-window disease, in join form).  Here
+    the code table is persisted once and the probe-side codes — the
+    BOUNDED side (≤ _KNN_PROBES × dim rows) — broadcast onto it, so
+    the corpus-sized side never re-shuffles; the per-probe partial-agg
+    groupBy and the rank-LIMITED top-K window (WindowGroupLimit) are
+    the only exchanges.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    codes = _q._persist_tracked(
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode("embedding").alias("dim0", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dim0") + 1).cast("bigint").alias("dim"),
+            F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+            .alias("code"),
+        )
+    )
+    probes = (
+        codes.select("vec_id", "label").distinct()
+        .orderBy("vec_id")
+        .limit(_KNN_PROBES)
+    )
+    pc = (
+        codes.join(
+            F.broadcast(
+                probes.select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("label").alias("probe_label"),
+                )
+            ),
+            F.col("vec_id") == F.col("probe_id"),
+        )
+        .select("probe_id", "probe_label", "dim",
+                F.col("code").alias("pcode"))
+    )
+    dots = (
+        codes.join(F.broadcast(pc), "dim")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "probe_label", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.max("label").alias("cand_label"),
+            F.sum(F.col("pcode") * F.col("code")).cast("bigint").alias("dot"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("dot").desc(), "cand_id")
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .groupBy("probe_id", "probe_label")
+        .agg(
+            F.sum(
+                F.when(F.col("cand_label") == F.col("probe_label"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("same_label"),
+            F.lit(_KNN_K).cast("bigint").alias("k"),
+            F.expr(
+                f"CAST((2000000 * sum(CASE WHEN cand_label = probe_label"
+                f" THEN 1 ELSE 0 END) + {_KNN_K}) DIV (2 * {_KNN_K})"
+                f" AS BIGINT)"
+            ).alias("purity_micro"),
+        )
+        .select("probe_id", "probe_label", "same_label", "k", "purity_micro")
+    )
 
 
 ORACLE_LABEL_KNN_PURITY = _knn_sql("duck")

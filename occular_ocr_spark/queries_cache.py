@@ -111,10 +111,13 @@ trace AS (
 """
 
 
-def _distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _distances(spark: SparkSession, sf_dir: str, tr=None) -> DataFrame:
     """Per re-access LRU stack distance: DISTINCT keys strictly
-    between prev_pos and pos within the same user's trace."""
-    tr = _q._persist_tracked(_trace(spark, sf_dir))
+    between prev_pos and pos within the same user's trace.  Callers
+    that also read the trace pass their persisted copy via ``tr`` so
+    the windowed trace build runs once per query, not per branch."""
+    if tr is None:
+        tr = _q._persist_tracked(_trace(spark, sf_dir))
     re = tr.where("prev_pos IS NOT NULL").selectExpr(
         "user_id AS r_user", "pos AS r_pos", "prev_pos AS r_prev"
     )
@@ -158,13 +161,15 @@ def q_stack_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     form at 10^12 accesses: one ordered pass per user partition
     maintaining the LRU stack (applyInPandas), same histogram.
     """
-    tr = _trace(spark, sf_dir)
+    # one persisted trace feeds the cold branch AND the distance join
+    # (was two full windowed trace builds)
+    tr = _q._persist_tracked(_trace(spark, sf_dir))
     cold = tr.where("prev_pos IS NULL").agg(
         F.lit(-1).cast("long").alias("distance"),
         F.count("*").cast("long").alias("n_accesses"),
     )
     warm = (
-        _distances(spark, sf_dir)
+        _distances(spark, sf_dir, tr)
         .groupBy("distance")
         .agg(F.count("*").cast("long").alias("n_accesses"))
     )
@@ -194,14 +199,15 @@ def q_lru_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cumulates the ≤#keys-row distance histogram against a
     6-row size frame — the raw trace is touched once.
     """
+    # one persisted trace feeds the distance join AND the access total
+    # (was two full windowed trace builds)
+    tr = _q._persist_tracked(_trace(spark, sf_dir))
     hist = _q._persist_tracked(
-        _distances(spark, sf_dir)
+        _distances(spark, sf_dir, tr)
         .groupBy("distance")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    total = _trace(spark, sf_dir).agg(
-        F.count("*").cast("long").alias("accesses")
-    )
+    total = tr.agg(F.count("*").cast("long").alias("accesses"))
     sizes = spark.createDataFrame(
         [(c,) for c in _LRU_SIZES], "cache_size int"
     )
@@ -314,15 +320,21 @@ def q_reuse_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("prev_pos IS NOT NULL")
         .selectExpr("event_type", "pos - prev_pos AS gap")
     )
+    # lower median off (event_type, gap)-compressed cumulative counts
+    # instead of ranking raw gap rows in ≤5 fixed event_type partitions
+    # (the ship_latency_profile / median_polish r6 fix); the windows
+    # below run over distinct gap values only
     med = (
-        gaps.selectExpr(
+        gaps.groupBy("event_type", "gap")
+        .agg(F.count("*").alias("_n"))
+        .selectExpr(
             "event_type",
             "gap",
-            "row_number() OVER (PARTITION BY event_type"
-            " ORDER BY gap, event_type) AS rk",
-            "count(*) OVER (PARTITION BY event_type) AS n",
+            "_n",
+            "sum(_n) OVER (PARTITION BY event_type ORDER BY gap) AS _cum",
+            "(sum(_n) OVER (PARTITION BY event_type) + 1) DIV 2 AS _tgt",
         )
-        .where("rk = (n + 1) DIV 2")
+        .where("_cum >= _tgt AND _cum - _n < _tgt")
         .selectExpr("event_type", "gap AS median_gap")
     )
     return (

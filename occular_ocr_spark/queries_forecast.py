@@ -280,13 +280,27 @@ ranked AS (
 """
 
 
-def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").selectExpr(
-        "lang",
-        "n_chars",
-        "row_number() OVER (PARTITION BY lang"
-        " ORDER BY n_chars, doc_id) AS rk",
-        "count(*) OVER (PARTITION BY lang) AS n",
+def _vcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_chars, _n, _cum, n) — the compressed twin of the SQL
+    rank frame: per-(lang, value) counts with an inclusive cumulative
+    and the per-lang total.  The value AT raw rank k (n_chars,
+    doc_id order) is the smallest value whose cumulative count reaches
+    k — the doc_id tiebreak cannot change the selected VALUE — so rank
+    SELECTION reads off this bounded frame instead of a full-rank
+    window partitioned by the fixed-cardinality lang over raw rows
+    (the r6 two-level-rank doctrine; windows here run over distinct
+    n_chars values only)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "n_chars")
+        .agg(F.count("*").alias("_n"))
+        .selectExpr(
+            "lang",
+            "n_chars",
+            "_n",
+            "sum(_n) OVER (PARTITION BY lang ORDER BY n_chars) AS _cum",
+            "sum(_n) OVER (PARTITION BY lang) AS n",
+        )
     )
 
 
@@ -300,10 +314,13 @@ def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤#langs×#qs predictor frame against the corpus.
     """
     qs = spark.createDataFrame([(q,) for q in _PB_QS], "q_micro long")
-    ranked = _q._persist_tracked(_ranked(spark, sf_dir))
+    ranked = _q._persist_tracked(_vcounts(spark, sf_dir))
     yhat = (
         ranked.crossJoin(F.broadcast(qs))
-        .where("rk = greatest(1L, (q_micro * n + 999999) DIV 1000000)")
+        .withColumn(
+            "_tgt", F.expr("greatest(1L, (q_micro * n + 999999) DIV 1000000)")
+        )
+        .where("_cum >= _tgt AND _cum - _n < _tgt")
         .selectExpr("lang", "q_micro", "n_chars AS yhat")
     )
     return (
@@ -372,21 +389,29 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = spark.createDataFrame(
         [(lv,) for lv in _IC_LEVELS], "level_micro long"
     )
-    ranked = _q._persist_tracked(_ranked(spark, sf_dir))
+    ranked = _q._persist_tracked(_vcounts(spark, sf_dir))
     lo = (
         ranked.crossJoin(F.broadcast(levels))
-        .where(
-            "rk = greatest(1L, (((1000000 - level_micro) DIV 2) * n"
-            " + 999999) DIV 1000000)"
+        .withColumn(
+            "_tgt",
+            F.expr(
+                "greatest(1L, (((1000000 - level_micro) DIV 2) * n"
+                " + 999999) DIV 1000000)"
+            ),
         )
+        .where("_cum >= _tgt AND _cum - _n < _tgt")
         .selectExpr("lang", "level_micro", "n_chars AS lo")
     )
     hi = (
         ranked.crossJoin(F.broadcast(levels))
-        .where(
-            "rk = greatest(1L, ((1000000 - (1000000 - level_micro) DIV 2)"
-            " * n + 999999) DIV 1000000)"
+        .withColumn(
+            "_tgt",
+            F.expr(
+                "greatest(1L, ((1000000 - (1000000 - level_micro) DIV 2)"
+                " * n + 999999) DIV 1000000)"
+            ),
         )
+        .where("_cum >= _tgt AND _cum - _n < _tgt")
         .selectExpr("lang", "level_micro", "n_chars AS hi")
     )
     bounds = lo.join(hi, ["lang", "level_micro"])

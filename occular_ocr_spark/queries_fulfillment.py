@@ -80,15 +80,27 @@ def q_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority ship latency: count/min/max, half-up micro mean,
     exact lower median by rank selection."""
     lat = _q._persist_tracked(_lat(spark, sf_dir))
+    # lower median WITHOUT ranking raw rows in the ≤5 fixed priority
+    # partitions (the median_polish r6 fix): compress to (priority,
+    # lat) counts — latencies are bounded ints — and read the value at
+    # rank (n + 1) DIV 2 off cumulative counts; the o_orderkey
+    # tiebreak cannot change the SELECTED lat value, because position
+    # k of the (lat, key)-ordered partition carries the same lat as
+    # position k of the lat-ordered multiset.
+    cnt = lat.groupBy("o_orderpriority", "lat").agg(
+        F.count("*").alias("_n")
+    )
     med = (
-        lat.selectExpr(
+        cnt.selectExpr(
             "o_orderpriority",
             "lat",
-            "row_number() OVER (PARTITION BY o_orderpriority"
-            " ORDER BY lat, o_orderkey) AS rk",
-            "count(*) OVER (PARTITION BY o_orderpriority) AS n",
+            "_n",
+            "sum(_n) OVER (PARTITION BY o_orderpriority ORDER BY lat)"
+            " AS _cum",
+            "(sum(_n) OVER (PARTITION BY o_orderpriority) + 1) DIV 2"
+            " AS _tgt",
         )
-        .where("rk = (n + 1) DIV 2")
+        .where("_cum >= _tgt AND _cum - _n < _tgt")
         .selectExpr("o_orderpriority", "lat AS median_days")
     )
     return (

@@ -1228,9 +1228,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (shift, width) in enumerate(_SIMHASH_BANDS)
         ]
     )
-    bands = fp.select(
-        "doc_id", "simhash", F.explode(band_struct).alias("b")
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    # persisted: both sides of the band self-join read the band table —
+    # unpersisted each re-ran the full simhash fingerprint pass
+    bands = _persist_tracked(
+        fp.select(
+            "doc_id", "simhash", F.explode(band_struct).alias("b")
+        ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")

@@ -306,8 +306,13 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = _q.QUERIES["unigram_logprob"](spark, sf_dir).select(
         "doc_id", F.col("logprob2").alias("lp")
     )
-    scored = docs.join(lp, "doc_id").withColumn(
-        "bin", F.floor("lp").cast("bigint")
+    # persisted: the bin counts and the ranked join both read the
+    # scored frame — unpersisted each re-ran the unigram-LM scoring
+    # pass over the corpus
+    scored = _q._persist_tracked(
+        docs.join(lp, "doc_id").withColumn(
+            "bin", F.floor("lp").cast("bigint")
+        )
     )
     bcounts = scored.groupBy("lang", "bin").agg(F.count("*").alias("bn"))
     wb = Window.partitionBy("lang").orderBy("bin").rowsBetween(

@@ -191,9 +191,13 @@ def q_bloom_runtime_filter_audit(
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("long").alias("okey"),
-        F.col("o_custkey").cast("long").alias("k"),
+    # _spread before the per-row position explode (single local split
+    # otherwise; no-op at scale — guide §2.5)
+    o = _q._spread(
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("okey"),
+            F.col("o_custkey").cast("long").alias("k"),
+        )
     )
     probes = o.select(
         "okey", "k", F.explode(F.expr(pos)).alias("p")
@@ -203,7 +207,10 @@ def q_bloom_runtime_filter_audit(
         (F.col("p") / 32).cast("int").alias("word"),
         F.expr("CAST(shiftleft(1, p % 32) AS BIGINT)").alias("mask"),
     )
-    per_row = (
+    # persisted: the match semi-join and the pass rollup both read the
+    # per-row verdicts — unpersisted each re-ran the probe explode +
+    # bloom join + groupBy
+    per_row = _q._persist_tracked(
         probes.join(F.broadcast(bloom), "word", "left")
         .select(
             "okey",

@@ -889,8 +889,12 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("group_id").agg(
         F.count("*").cast("bigint").alias("size")
     )
-    hist = sizes.groupBy("size").agg(
-        F.count("*").cast("bigint").alias("n_clusters")
+    # persisted: the totals row and the report both read the histogram —
+    # unpersisted each re-ran the label join + two rollups
+    hist = _q._persist_tracked(
+        sizes.groupBy("size").agg(
+            F.count("*").cast("bigint").alias("n_clusters")
+        )
     )
     tot = hist.groupBy().agg(
         F.sum(F.col("size") * F.col("n_clusters")).alias("n_docs_total")

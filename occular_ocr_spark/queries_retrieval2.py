@@ -526,7 +526,9 @@ def q_query_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _QC_K)
         .select(F.col("tok").alias("qt"), "doc_id")
     )
-    rtf = (
+    # persisted: rlen and the term frame both read rtf — unpersisted
+    # each re-ran the candidate-postings join + rollup
+    rtf = _q._persist_tracked(
         postings.join(F.broadcast(cands), "doc_id")
         .groupBy("qt", "tok")
         .agg(F.sum("tf").alias("tfr"))

@@ -552,7 +552,10 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = _q._persist_tracked(dt)
     wk = Window.partitionBy("source").orderBy("h")
-    sk = (
+    # persisted: both merge legs (and their source-list distincts) read
+    # the per-source sketch — unpersisted each of the four references
+    # re-ran the top-k window over the distinct-hash table
+    sk = _q._persist_tracked(
         dt.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= _KMV_K)
         .select("source", "h")

@@ -1638,12 +1638,13 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     of approx_distinct covers that variant.  Sums/means round
     (partial-agg order); counts/min/max are exact on both engines.
     """
-    # _spread before the agg: the exact-NDV Expand multiplies every row
-    # by the distinct-column count inside the scan stage (single local
-    # split otherwise; no-op at scale — guide §2.5)
-    li = _q._spread(
-        _t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
-    )
+    # NOT spread (r6): the profile includes avg() over double columns,
+    # and changing the scan's partial-aggregation order moves the
+    # IEEE sum by an ulp — enough to flip the rounded display digit
+    # vs the oracle (caught by the sf0.01 value-hash sweep).  The
+    # exact-NDV Expand therefore stays in the scan stage; integer-only
+    # aggregations elsewhere may spread, float sums must not.
+    li = _t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
     aggs = []
     for c in _PROFILE_COLS:
         for stat, builder, _ in _PROFILE_STATS:

@@ -470,13 +470,14 @@ def test_profile_table_single_pass(spark):
     fold in a single aggregation pass over ONE table scan."""
     p = plan_of(Q.QUERIES["profile_table"](spark, SF_DIR))
     assert "Expand" in p
-    # the exact-NDV stage hash-partitions on the distinct-value columns
-    # (NDV-scaled — the honest cost of EXACT countDistinct;
-    # approx_count_distinct is the 1-row swap), then a SinglePartition
-    # merge of the 1-row finals; r6 adds the scale-adaptive fan-out
-    # exchange below the Expand (no-op at scale) so the row-multiplying
-    # Expand runs on all cores locally
-    assert n_nodes(p, "Exchange") == 3
+    # exactly two exchanges: the exact-NDV stage hash-partitions on
+    # the distinct-value columns (NDV-scaled — the honest cost of
+    # EXACT countDistinct; approx_count_distinct is the 1-row swap),
+    # then a SinglePartition merge of the 1-row finals.  NO fan-out
+    # exchange: the profile's avg() over doubles is summation-order
+    # sensitive at the rounded display digit (r6 sf0.01 sweep), so the
+    # scan partitioning must stay as-is.
+    assert n_nodes(p, "Exchange") == 2
     assert "hashpartitioning" in p and "SinglePartition" in p
     assert "EvalPython" not in p
 
